@@ -15,8 +15,27 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: synthesize Common-Crawl-style pages (input_hint shape)
+    from sf0.001 documents, run the main-content extraction pipeline
+    (salted repartition → Arrow-batched boilerplate strip), return doc_text
+    with a per-url byte-identity flag vs the ground-truth text column."""
+    from pyspark.sql import functions as F
+
+    from docling_ibm_models_spark.pipeline.extract import (
+        doc_text_clean,
+        extract_doc_text,
+    )
+    from docling_ibm_models_spark.sources.pages_source import pages_from_documents
+
+    pages = pages_from_documents(spark, "/root/testdata/sf0.001")
+    out = doc_text_clean(extract_doc_text(pages, num_partitions=8))
+    return out.join(pages.select("url", F.col("text").alias("expected")), "url").select(
+        "url",
+        "lang",
+        "n_blocks",
+        "n_chars",
+        (F.col("extracted_text") == F.col("expected")).cast("int").alias("is_match"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,285 @@
+"""Main-content extraction from raw HTML — from scratch, stdlib only.
+
+This is the web-text analogue of the reference's page-understanding pipeline
+(north rule: "HTML boilerplate strip, PDF/layout parse, DOM heuristics").
+The algorithm is a block-segmentation + density-heuristic boilerplate
+stripper in the tradition of Boilerpipe (Kohlschütter et al., WSDM 2010) and
+jusText (Pomikálek 2011) — public literature, re-implemented from scratch:
+
+1. stream-parse the HTML (``html.parser.HTMLParser``) into flat text blocks,
+   one per block-level element, skipping non-content subtrees
+   (``script/style/nav/...`` and elements whose class/id match a boilerplate
+   lexicon),
+2. score each block by text length and link density,
+3. keep content blocks; keep headings that introduce kept content,
+4. assemble the linear main-content text (blocks joined by a blank line) and
+   emit byte-offset spans per block.
+
+The reference's analogous surface is the layout-label blacklist filter
+(/root/reference/docling_ibm_models/layoutmodel/layout_predictor.py:67-68,
+161-163) plus reading-order assembly
+(/root/reference/docling_ibm_models/reading_order/reading_order_rb.py:71-115);
+here DOM structure substitutes for geometry.
+
+Pure functions only — no Spark imports. The Spark layer wraps
+:func:`extract_main_content` in an Arrow-batched ``mapInPandas`` stage
+(pipeline/extract.py); nothing in this module runs per-row at the JVM
+boundary.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from html.parser import HTMLParser
+
+# Subtrees that never contain main content.
+_DROP_TAGS = frozenset(
+    """script style noscript template svg canvas iframe object embed
+    head title nav footer header aside form button select option label
+    textarea figure menu dialog""".split()
+)
+
+# Void elements: never pushed on the open-element stack.
+_VOID_TAGS = frozenset(
+    "area base br col embed hr img input link meta param source track wbr".split()
+)
+
+# Elements that delimit text blocks.
+_BLOCK_TAGS = frozenset(
+    """p h1 h2 h3 h4 h5 h6 li pre blockquote td th tr table ul ol dl dt dd
+    div article section main body caption""".split()
+)
+
+# Boilerplate lexicon applied to class/id attributes (subtree dropped).
+_BOILER_ATTR_RE = re.compile(
+    r"(?:^|[\s_-])(nav|navbar|menu|footer|header|masthead|sidebar|ad|ads|"
+    r"advert|advertisement|banner|promo|sponsor|comment|comments|share|"
+    r"social|cookie|consent|subscribe|newsletter|breadcrumb|breadcrumbs|"
+    r"related|recommend|widget|popup|modal|login|signup|pagination|paging|"
+    r"toolbar|skip|hidden)(?:$|[\s_-])",
+    re.IGNORECASE,
+)
+
+_WS_RE = re.compile(r"\s+")
+
+# Block-level classification thresholds (Boilerpipe-style).
+MIN_CONTENT_CHARS = 25
+MAX_LINK_DENSITY = 0.33
+MIN_HEADING_CHARS = 3
+
+_HEADING_LABEL = {
+    "h1": "title",
+    "h2": "section_header",
+    "h3": "section_header",
+    "h4": "section_header",
+    "h5": "section_header",
+    "h6": "section_header",
+}
+
+
+def normalize_text(s: str) -> str:
+    """Canonical whitespace normalization: collapse runs, strip ends.
+
+    Shared by the extractor and the synthetic-page generator so the parity
+    check exercises parsing/boilerplate removal, not whitespace handling.
+    """
+    return _WS_RE.sub(" ", s).strip()
+
+
+@dataclass
+class Block:
+    tag: str
+    parts: list[str] = field(default_factory=list)
+    link_chars: int = 0
+    total_chars: int = 0
+    cells: list[str] | None = None  # set for table rows
+
+    @property
+    def text(self) -> str:
+        if self.cells is not None:
+            cols = [c for c in (normalize_text(c) for c in self.cells) if c]
+            return " | ".join(cols)
+        return normalize_text("".join(self.parts))
+
+    @property
+    def link_density(self) -> float:
+        return self.link_chars / self.total_chars if self.total_chars else 0.0
+
+
+class _BlockParser(HTMLParser):
+    """Flatten an HTML document into candidate text blocks."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.blocks: list[Block] = []
+        self._cur: Block | None = None
+        self._drop_depth = 0
+        self._boiler_stack: list[str] = []  # open tags inside a boiler subtree
+        self._anchor_depth = 0
+        self._pre_depth = 0
+        self._row: Block | None = None  # current <tr> accumulation
+        self._cell_parts: list[str] | None = None
+
+    # -- block management ---------------------------------------------------
+    def _flush(self) -> None:
+        if self._cur is not None and self._cur.total_chars:
+            self.blocks.append(self._cur)
+        self._cur = None
+
+    def _open_block(self, tag: str) -> None:
+        self._flush()
+        self._cur = Block(tag=tag)
+
+    # -- parser callbacks ---------------------------------------------------
+    def handle_starttag(self, tag, attrs):
+        if tag in _VOID_TAGS:
+            return
+        if self._drop_depth:
+            self._drop_depth += 1
+            return
+        if tag in _DROP_TAGS:
+            self._drop_depth = 1
+            return
+        attr_blob = " ".join(v for k, v in attrs if k in ("class", "id", "role") and v)
+        if attr_blob and _BOILER_ATTR_RE.search(attr_blob):
+            self._drop_depth = 1
+            return
+        if tag == "a":
+            self._anchor_depth += 1
+        if tag == "pre":
+            self._pre_depth += 1
+        if tag == "tr":
+            self._flush()
+            self._row = Block(tag="tr", cells=[])
+        elif tag in ("td", "th") and self._row is not None:
+            self._cell_parts = []
+        elif tag in _BLOCK_TAGS:
+            self._open_block(tag)
+
+    def handle_endtag(self, tag):
+        if tag in _VOID_TAGS:
+            return
+        if self._drop_depth:
+            self._drop_depth -= 1
+            return
+        if tag == "a" and self._anchor_depth:
+            self._anchor_depth -= 1
+        if tag == "pre" and self._pre_depth:
+            self._pre_depth -= 1
+        if tag == "tr" and self._row is not None:
+            if self._row.total_chars:
+                self.blocks.append(self._row)
+            self._row = None
+        elif tag in ("td", "th") and self._row is not None and self._cell_parts is not None:
+            self._row.cells.append("".join(self._cell_parts))
+            self._cell_parts = None
+        elif tag in _BLOCK_TAGS:
+            self._flush()
+
+    def handle_startendtag(self, tag, attrs):
+        # void elements (<br/>, <hr/>) — whitespace only
+        self.handle_data(" ")
+
+    def handle_data(self, data):
+        if self._drop_depth:
+            return
+        if not data or (not data.strip() and self._pre_depth == 0):
+            # pure whitespace still separates words
+            data = " " if data else ""
+            if not data:
+                return
+        n = len(data.strip())
+        if self._cell_parts is not None:
+            self._cell_parts.append(data)
+            if self._row is not None:
+                self._row.total_chars += n
+                if self._anchor_depth:
+                    self._row.link_chars += n
+            return
+        if self._row is not None:
+            return  # stray text inside <tr> outside cells
+        if self._cur is None:
+            self._open_block("div")
+        self._cur.parts.append(data)
+        self._cur.total_chars += n
+        if self._anchor_depth:
+            self._cur.link_chars += n
+
+    def close(self):
+        super().close()
+        self._flush()
+
+
+def _label_for(block: Block) -> str:
+    if block.cells is not None:
+        return "table_row"
+    if block.tag in _HEADING_LABEL:
+        return _HEADING_LABEL[block.tag]
+    if block.tag == "pre":
+        return "code"
+    if block.tag == "li":
+        return "list_item"
+    if block.tag == "blockquote":
+        return "quote"
+    return "text"
+
+
+def classify_blocks(blocks: list[Block]) -> list[tuple[str, str]]:
+    """Boilerpipe-style content classification → list of (label, text).
+
+    A block is content if it has enough text and low link density; headings
+    and table rows are kept only when they introduce / belong to kept
+    content (a heading directly preceding a content block; table rows with
+    low link density).
+    """
+    texts = [b.text for b in blocks]
+    is_content = [False] * len(blocks)
+    for i, b in enumerate(blocks):
+        t = texts[i]
+        if not t:
+            continue
+        if b.cells is not None:
+            is_content[i] = b.link_density <= MAX_LINK_DENSITY and len(t) >= MIN_HEADING_CHARS
+        elif b.tag in _HEADING_LABEL:
+            continue  # resolved in the second pass
+        else:
+            is_content[i] = len(t) >= MIN_CONTENT_CHARS and b.link_density <= MAX_LINK_DENSITY
+    # second pass: headings kept when some following block is content
+    for i, b in enumerate(blocks):
+        if b.tag in _HEADING_LABEL and texts[i] and len(texts[i]) >= MIN_HEADING_CHARS:
+            if b.link_density > 0.0:
+                continue
+            for j in range(i + 1, len(blocks)):
+                if is_content[j]:
+                    is_content[i] = True
+                    break
+    return [(_label_for(b), texts[i]) for i, b in enumerate(blocks) if is_content[i]]
+
+
+def assemble(labeled: list[tuple[str, str]]) -> tuple[str, list[tuple[int, int, str, int]]]:
+    """Join content blocks with a blank line; emit (start, end, label, idx) spans."""
+    parts: list[str] = []
+    spans: list[tuple[int, int, str, int]] = []
+    pos = 0
+    for idx, (label, text) in enumerate(labeled):
+        if parts:
+            pos += 2  # "\n\n"
+        spans.append((pos, pos + len(text), label, idx))
+        pos += len(text)
+        parts.append(text)
+    return "\n\n".join(parts), spans
+
+
+def extract_main_content(html: bytes | str) -> tuple[str, list[tuple[int, int, str, int]]]:
+    """bytes/str HTML → (main-content text, spans). Deterministic, pure."""
+    if isinstance(html, (bytes, bytearray)):
+        html = html.decode("utf-8", errors="replace")
+    parser = _BlockParser()
+    try:
+        parser.feed(html)
+        parser.close()
+    except Exception:
+        # malformed HTML: fall back to whatever blocks were parsed
+        parser._flush()
+    return assemble(classify_blocks(parser.blocks))

@@ -1,0 +1,171 @@
+"""Deterministic synthetic ``pages`` source (BASELINE.json input_hint shape).
+
+Derives a Common-Crawl-style table ``(url, warc_ts, html, text, lang)`` from
+the driver's ``documents.parquet`` — no external data. For every document a
+seed-fixed generator renders a full HTML page: the document's words become
+titled paragraphs / lists / tables (the *main content*), wrapped in realistic
+boilerplate (nav bars, cookie banners, sidebars, footers, scripts, comment
+sections). The ``text`` column carries the ground-truth main-content text the
+extractor must reproduce **byte-identically** per url (north rule), computed
+from the generator's own content blocks via the same canonical
+assembly/normalization the extractor uses — so the parity check exercises
+parsing and boilerplate stripping end-to-end.
+
+All generation is Arrow-batched (``mapInPandas``); generation cost is charged
+to the producer stage, never to the extraction stage being benchmarked.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import html as _html
+import random
+from collections.abc import Iterator
+
+import pandas as pd
+
+from docling_ibm_models_spark.functions.html_extract import (
+    MIN_CONTENT_CHARS,
+    assemble,
+    normalize_text,
+)
+
+_EPOCH = _dt.datetime(2024, 1, 1, tzinfo=_dt.timezone.utc)
+
+_NAV_WORDS = ["Home", "About", "Products", "Blog", "Contact", "Careers", "Login", "Pricing"]
+_FOOTER = "© 2024 Example Corp. All rights reserved. Terms of Service. Privacy Policy."
+_COOKIE = "We use cookies to improve your experience. Accept all cookies?"
+_SIDEBAR_ITEMS = ["Trending now", "Most read", "Editor's picks", "From our partners"]
+
+
+def _paragraphs(words: list[str], rng: random.Random) -> list[str]:
+    """Group words into paragraphs of >= MIN_CONTENT_CHARS chars."""
+    paras: list[str] = []
+    i = 0
+    while i < len(words):
+        take = rng.randint(8, 22)
+        chunk = words[i : i + take]
+        i += take
+        para = " ".join(chunk)
+        if len(para) < MIN_CONTENT_CHARS and paras:
+            paras[-1] = paras[-1] + " " + para
+        elif len(para) >= MIN_CONTENT_CHARS:
+            paras.append(para)
+        elif i >= len(words) and not paras:
+            paras.append((para + " placeholder content padding").strip())
+    return paras
+
+
+def render_page(doc_id: int, text: str, lang: str, source: str, replica: int = 0):
+    """One document → (url, warc_ts, html_bytes, expected_text, lang).
+
+    Deterministic in (doc_id, replica); seed-fixed rng drives layout variety.
+    """
+    rng = random.Random(f"page-{doc_id}-{replica}")
+    words = text.split()
+    title = " ".join(words[: max(3, min(8, len(words) // 4))]).title()
+    paras = _paragraphs(words, rng)
+
+    # content blocks as (label, raw_text); expected text derives from these
+    content: list[tuple[str, str]] = [("title", title)]
+    html_parts: list[str] = []
+    html_parts.append(f"<h1>{_html.escape(title)}</h1>")
+
+    n_sections = rng.randint(0, 2)
+    sec_points = sorted(rng.sample(range(len(paras)), min(n_sections, len(paras))))
+    for pi, para in enumerate(paras):
+        if pi in sec_points:
+            sec = " ".join(rng.sample(words, min(4, len(words)))).title()
+            content.append(("section_header", sec))
+            html_parts.append(f"<h2>{_html.escape(sec)}</h2>")
+        content.append(("text", para))
+        html_parts.append(f"<p>{_html.escape(para)}</p>")
+
+    # optional list
+    if rng.random() < 0.35 and len(words) >= 12:
+        html_parts.append("<ul>")
+        for _ in range(rng.randint(2, 4)):
+            item = " ".join(rng.sample(words, min(6, len(words))))
+            if len(item) >= MIN_CONTENT_CHARS:
+                content.append(("list_item", item))
+                html_parts.append(f"<li>{_html.escape(item)}</li>")
+        html_parts.append("</ul>")
+
+    # optional data table (main-content table — rows become `a | b` lines)
+    if rng.random() < 0.30 and len(words) >= 8:
+        html_parts.append('<table><tbody>')
+        for _ in range(rng.randint(2, 4)):
+            cells = [
+                " ".join(rng.sample(words, min(2, len(words)))),
+                str(rng.randint(1, 9999)),
+            ]
+            content.append(("table_row", " | ".join(normalize_text(c) for c in cells)))
+            html_parts.append(
+                "<tr>" + "".join(f"<td>{_html.escape(c)}</td>" for c in cells) + "</tr>"
+            )
+        html_parts.append("</tbody></table>")
+
+    body = "\n".join(html_parts)
+
+    # boilerplate wrapping — all of this must be stripped by the extractor
+    nav = "".join(
+        f'<a href="/{w.lower()}">{w}</a> ' for w in rng.sample(_NAV_WORDS, 5)
+    )
+    sidebar = "".join(
+        f'<div class="widget"><a href="#{i}">{t}</a></div>'
+        for i, t in enumerate(_SIDEBAR_ITEMS)
+    )
+    comments = "".join(
+        f"<p>user{i} says: {_html.escape(' '.join(rng.sample(words, min(3, len(words)))))}</p>"
+        for i in range(rng.randint(0, 3))
+    )
+    page_html = f"""<!DOCTYPE html>
+<html lang="{lang}"><head><title>{_html.escape(title)}</title>
+<style>body {{ margin: 0; }}</style>
+<script>var tracker = "{doc_id}";</script>
+</head><body>
+<header><div class="logo">Example Site</div><nav>{nav}</nav></header>
+<div class="cookie-banner">{_COOKIE} <a href="#accept">Accept</a></div>
+<div class="layout">
+<aside class="sidebar">{sidebar}</aside>
+<main><article>
+{body}
+</article></main>
+</div>
+<section class="comments"><h3>Comments</h3>{comments}</section>
+<footer>{_FOOTER} <a href="/about">About us</a></footer>
+<script>analytics.track("view");</script>
+</body></html>"""
+
+    labeled = [(lbl, normalize_text(t)) for lbl, t in content]
+    labeled = [(lbl, t) for lbl, t in labeled if t]
+    expected, _spans = assemble(labeled)
+
+    url = f"https://{source}.example.org/{lang}/doc-{doc_id:08d}-{replica}"
+    ts = _EPOCH + _dt.timedelta(seconds=int(doc_id) * 37 + replica)
+    return url, ts, page_html.encode("utf-8"), expected, lang
+
+
+def docs_batch_to_pages(pdf: pd.DataFrame, replicas: int = 1) -> pd.DataFrame:
+    """Vectorized batch converter: documents rows → pages rows."""
+    rows = []
+    for doc_id, text, lang, source in zip(
+        pdf["doc_id"], pdf["text"], pdf["lang"], pdf["source"]
+    ):
+        for rep in range(replicas):
+            rows.append(render_page(int(doc_id), text, lang, source, rep))
+    return pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"])
+
+
+def pages_from_documents(spark, sf_dir: str, replicas: int = 1):
+    """documents.parquet → pages DataFrame (input_hint shape), Arrow-batched."""
+    from docling_ibm_models_spark import schemas
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                yield docs_batch_to_pages(pdf, replicas=replicas)
+
+    return docs.mapInPandas(gen, schema=schemas.PAGES)

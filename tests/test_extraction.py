@@ -1,0 +1,119 @@
+"""End-to-end main-content extraction: byte-identical text per url
+(north rule gate), lineage, and resume-from-checkpoint."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from docling_ibm_models_spark.functions.html_extract import (
+    extract_main_content,
+    normalize_text,
+)
+from docling_ibm_models_spark.pipeline.extract import doc_text_clean, extract_doc_text
+from docling_ibm_models_spark.pipeline.lineage import (
+    committed_partitions,
+    run_extraction,
+    snapshot_id_for,
+)
+from docling_ibm_models_spark.sources.pages_source import pages_from_documents, render_page
+
+from .conftest import SF_SMALL
+
+
+def test_extractor_pure_roundtrip_all_docs():
+    rows = duckdb.sql(
+        f"SELECT doc_id, text, lang, source FROM '{SF_SMALL}/documents.parquet'"
+    ).fetchall()
+    assert len(rows) == 500
+    for doc_id, text, lang, source in rows:
+        url, _ts, html, expected, _ = render_page(doc_id, text, lang, source)
+        got, spans = extract_main_content(html)
+        assert got == expected, f"extraction mismatch for {url}"
+        # spans tile the text exactly
+        assert spans[0][0] == 0 and spans[-1][1] == len(got)
+        for s, e, lbl, _i in spans:
+            assert got[s:e] == got[s:e].strip()
+
+
+def test_extractor_strips_boilerplate_generic():
+    html = b"""<html><head><title>T</title><script>x=1</script></head><body>
+    <nav><a href='/'>Home</a><a href='/b'>Blog</a></nav>
+    <div class="ad-banner">Buy now! Limited offer on everything today only</div>
+    <p>This is the actual article content, long enough to be kept as body text.</p>
+    <div class="footer">copyright footer text that is fairly long as well</div>
+    </body></html>"""
+    text, spans = extract_main_content(html)
+    assert text == "This is the actual article content, long enough to be kept as body text."
+    assert [s[2] for s in spans] == ["text"]
+
+
+def test_extractor_link_density_drop():
+    links = "".join(f"<a href='/{i}'>Link number {i} with words</a> " for i in range(10))
+    html = f"<html><body><div>{links}</div><p>Real paragraph content stays here with enough characters.</p></body></html>"
+    text, _ = extract_main_content(html)
+    assert text == "Real paragraph content stays here with enough characters."
+
+
+def test_normalize_text():
+    assert normalize_text("  a\n\t b   c ") == "a b c"
+
+
+def test_spark_extraction_byte_identical(spark):
+    pages = pages_from_documents(spark, SF_SMALL)
+    out = doc_text_clean(extract_doc_text(pages, num_partitions=8))
+    joined = out.join(pages.select("url", F.col("text").alias("expected")), "url")
+    total = joined.count()
+    mismatches = joined.filter(F.col("extracted_text") != F.col("expected")).count()
+    assert total == 500
+    assert mismatches == 0
+
+
+def test_lineage_and_resume(spark, tmp_path):
+    out_dir = str(tmp_path / "out")
+    pages = pages_from_documents(spark, SF_SMALL)
+    snap = snapshot_id_for(f"{SF_SMALL}|replicas=1")
+
+    # simulate a mid-run kill: only 2 of 4 chunks commit
+    r1 = run_extraction(
+        spark, pages, out_dir, snap, num_partitions=8, chunk_partitions=2, max_chunks=2
+    )
+    assert r1.partitions_processed == 4
+    done = committed_partitions(spark, out_dir, snap)
+    assert len(done) == 4
+
+    # resume: processes exactly the remaining 4 partitions
+    r2 = run_extraction(spark, pages, out_dir, snap, num_partitions=8, chunk_partitions=2)
+    assert r2.partitions_done_before == 4
+    assert r2.partitions_processed == 4
+    assert r1.docs_processed + r2.docs_processed == 500
+
+    # final output complete and byte-identical
+    result = spark.read.parquet(f"{out_dir}/doc_text")
+    assert result.count() == 500
+    joined = result.join(pages.select("url", F.col("text").alias("expected")), "url")
+    assert joined.filter(F.col("extracted_text") != F.col("expected")).count() == 0
+
+    # lineage covers all 8 partitions, doc counts add up
+    lin = spark.read.parquet(f"{out_dir}/lineage")
+    agg = lin.filter(F.col("snapshot_id") == snap).agg(
+        F.countDistinct("partition_id"), F.sum("doc_count")
+    ).collect()[0]
+    assert agg[0] == 8 and agg[1] == 500
+
+    # re-run on completed state: no-op
+    r3 = run_extraction(spark, pages, out_dir, snap, num_partitions=8)
+    assert r3.partitions_processed == 0
+
+
+def test_idempotent_rerun_partition_overwrite(spark, tmp_path):
+    """Re-processing an already-committed chunk must not duplicate rows."""
+    out_dir = str(tmp_path / "out2")
+    pages = pages_from_documents(spark, SF_SMALL)
+    snap = snapshot_id_for("idem")
+    run_extraction(spark, pages, out_dir, snap, num_partitions=4)
+    # force re-process everything under a new snapshot: dynamic partition
+    # overwrite replaces, not appends
+    run_extraction(spark, pages, out_dir, snap + 1, num_partitions=4)
+    assert spark.read.parquet(f"{out_dir}/doc_text").count() == 500
