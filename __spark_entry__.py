@@ -28,7 +28,7 @@ def entry(spark: SparkSession) -> DataFrame:
     from docling_ibm_models_spark.sources.pages_source import pages_from_documents
 
     pages = pages_from_documents(spark, "/root/testdata/sf0.001")
-    out = doc_text_clean(extract_doc_text(pages, num_partitions=8))
+    out = doc_text_clean(extract_doc_text(pages))
     return out.join(pages.select("url", F.col("text").alias("expected")), "url").select(
         "url",
         "lang",

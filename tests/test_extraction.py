@@ -62,7 +62,7 @@ def test_normalize_text():
 
 def test_spark_extraction_byte_identical(spark):
     pages = pages_from_documents(spark, SF_SMALL)
-    out = doc_text_clean(extract_doc_text(pages, num_partitions=8))
+    out = doc_text_clean(extract_doc_text(pages))
     joined = out.join(pages.select("url", F.col("text").alias("expected")), "url")
     total = joined.count()
     mismatches = joined.filter(F.col("extracted_text") != F.col("expected")).count()
@@ -72,19 +72,21 @@ def test_spark_extraction_byte_identical(spark):
 
 def test_lineage_and_resume(spark, tmp_path):
     out_dir = str(tmp_path / "out")
-    pages = pages_from_documents(spark, SF_SMALL)
+    pages_path = str(tmp_path / "pages")
+    pages = pages_from_documents(spark, SF_SMALL, parallelism=8)
+    pages.write.parquet(pages_path)
     snap = snapshot_id_for(f"{SF_SMALL}|replicas=1")
 
     # simulate a mid-run kill: only 2 of 4 chunks commit
     r1 = run_extraction(
-        spark, pages, out_dir, snap, num_partitions=8, chunk_partitions=2, max_chunks=2
+        spark, pages_path, out_dir, snap, num_partitions=8, chunk_partitions=2, max_chunks=2
     )
     assert r1.partitions_processed == 4
     done = committed_partitions(spark, out_dir, snap)
     assert len(done) == 4
 
     # resume: processes exactly the remaining 4 partitions
-    r2 = run_extraction(spark, pages, out_dir, snap, num_partitions=8, chunk_partitions=2)
+    r2 = run_extraction(spark, pages_path, out_dir, snap, num_partitions=8, chunk_partitions=2)
     assert r2.partitions_done_before == 4
     assert r2.partitions_processed == 4
     assert r1.docs_processed + r2.docs_processed == 500
@@ -103,17 +105,18 @@ def test_lineage_and_resume(spark, tmp_path):
     assert agg[0] == 8 and agg[1] == 500
 
     # re-run on completed state: no-op
-    r3 = run_extraction(spark, pages, out_dir, snap, num_partitions=8)
+    r3 = run_extraction(spark, pages_path, out_dir, snap, num_partitions=8)
     assert r3.partitions_processed == 0
 
 
 def test_idempotent_rerun_partition_overwrite(spark, tmp_path):
     """Re-processing an already-committed chunk must not duplicate rows."""
     out_dir = str(tmp_path / "out2")
-    pages = pages_from_documents(spark, SF_SMALL)
+    pages_path = str(tmp_path / "pages2")
+    pages_from_documents(spark, SF_SMALL, parallelism=4).write.parquet(pages_path)
     snap = snapshot_id_for("idem")
-    run_extraction(spark, pages, out_dir, snap, num_partitions=4)
+    run_extraction(spark, pages_path, out_dir, snap, num_partitions=4)
     # force re-process everything under a new snapshot: dynamic partition
     # overwrite replaces, not appends
-    run_extraction(spark, pages, out_dir, snap + 1, num_partitions=4)
+    run_extraction(spark, pages_path, out_dir, snap + 1, num_partitions=4)
     assert spark.read.parquet(f"{out_dir}/doc_text").count() == 500
