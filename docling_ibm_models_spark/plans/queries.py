@@ -1,0 +1,1029 @@
+"""Named queries + DuckDB oracle SQL — the driver-checked operator surface.
+
+Every SQL-expressible operator from SURVEY.md §2 (and the training-data ops
+the engine adds) is exposed here twice: as a Spark DataFrame program built
+ONLY from built-in ``pyspark.sql.functions`` (JVM-side, whole-stage codegen —
+no Python in these paths) and as an equivalent ANSI-ish SQL string DuckDB
+runs on the same parquet. The driver compares row counts, schemas, and
+order-insensitive value hashes; column names/aliases are kept identical on
+both sides by construction.
+
+Cross-engine determinism rules used throughout:
+* common 32-bit hash ``H(s) = int(md5(s)[:8], 16)`` — Spark
+  ``conv(substr(md5(s),1,8),16,10)::long``, DuckDB
+  ``('0x'||substr(md5(s),1,8))::BIGINT``;
+* floats rounded (4-6 dp) before comparison; sums of doubles rounded to 2;
+* every ORDER-sensitive construct (top-k, string_agg) carries a total
+  deterministic order with an id tiebreak;
+* timestamps compared as formatted UTC strings.
+
+The spatial/geometric skeleton queries (J2, J6, A4, A7, A11 of SURVEY.md
+§2.8) derive deterministic bbox tables from ``lineitem`` with identical
+arithmetic in both dialects, then run the operator relationally: the
+reference's nested-loop spatial theta-join (tf_cell_matcher.py:465-527),
+band interval-join (matching_post_processor.py:780-1144), exact median
+(matching_post_processor.py:190-264), final-assignment window top-1
+(matching_post_processor.py:720-755) and index compaction dense_rank
+(tf_predictor.py:502-564).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# common hash in both dialects
+def _h32_spark(col, seed: str = ""):
+    s = F.concat(F.lit(seed), col) if seed else col
+    return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+
+
+def _h32_sql(expr: str, seed: str = "") -> str:
+    inner = f"'{seed}' || {expr}" if seed else expr
+    return f"('0x' || substr(md5({inner}), 1, 8))::BIGINT"
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ===========================================================================
+# 1. Relational core (engine breadth: agg / join / window over TPC-H tables)
+# ===========================================================================
+
+@register(
+    "tpch_q1_pricing",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(avg(l_quantity), 4) AS avg_qty,
+           count(*) AS count_order
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1_pricing(spark, sf_dir):
+    """Classic pricing-summary hash aggregate (map-side partial agg +
+    single shuffle; mirrors SURVEY.md §2.5 A1-class grouped reductions)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "orders_customer_join",
+    oracle="""
+    SELECT n.n_name AS nation, count(*) AS n_orders,
+           round(sum(o.o_totalprice), 2) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    ORDER BY n.n_name
+    """,
+)
+def orders_customer_join(spark, sf_dir):
+    """Star join: fact ⋈ dim ⋈ dim with the small dims broadcast — the
+    plan Catalyst should pick (asserted in tests via explain)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("nation")
+    )
+
+
+@register(
+    "events_hourly",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_ts,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def events_hourly(spark, sf_dir):
+    """Tumbling-window aggregation (batch form of the streaming windowed
+    agg; Structured Streaming runs the same plan off readStream)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour_ts"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("hour_ts", "event_type")
+    )
+
+
+# ===========================================================================
+# 2. Text-analysis operators over documents (SURVEY.md build-plan additions)
+# ===========================================================================
+
+_LANGS = {
+    "en": ["the", "and", "of"],
+    "de": ["der", "und", "die"],
+    "fr": ["le", "et", "les"],
+    "es": ["el", "y", "los"],
+}
+
+
+def _kw_count_sql(kw: str) -> str:
+    pad = f"' ' || lower(text) || ' '"
+    return f"(length({pad}) - length(replace({pad}, ' {kw} ', ''))) / {len(kw) + 2}"
+
+
+def _kw_count_spark(kw: str):
+    pad = F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" "))
+    return (F.length(pad) - F.length(F.regexp_replace(pad, f" {kw} ", ""))) / (
+        len(kw) + 2
+    )
+
+
+@register(
+    "lang_id",
+    oracle=f"""
+    WITH scores AS (
+      SELECT doc_id,
+             { ", ".join(f"({'+'.join(_kw_count_sql(k) for k in kws)})::BIGINT AS s_{lang}" for lang, kws in _LANGS.items()) }
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE greatest(s_en, s_de, s_fr, s_es)
+             WHEN 0 THEN 'und'
+             WHEN s_en THEN 'en'
+             WHEN s_de THEN 'de'
+             WHEN s_fr THEN 'fr'
+             ELSE 'es' END AS pred_lang,
+           greatest(s_en, s_de, s_fr, s_es) AS top_score
+    FROM scores ORDER BY doc_id
+    """,
+)
+def lang_id(spark, sf_dir):
+    """Stopword-marker language ID — pure column expressions (codegen), the
+    n-gram-heuristic analogue of a fasttext-style lang filter."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        *[
+            sum([_kw_count_spark(k) for k in kws[1:]], _kw_count_spark(kws[0]))
+            .cast("long")
+            .alias(f"s_{lang}")
+            for lang, kws in _LANGS.items()
+        ],
+    )
+    top = F.greatest(*[F.col(f"s_{l}") for l in _LANGS])
+    pred = F.when(top == 0, F.lit("und"))
+    for lang in _LANGS:  # ties resolved by dict order, same as the CASE chain
+        pred = pred.when(F.col(f"s_{lang}") == top, F.lit(lang))
+    return scored.select(
+        "doc_id", pred.alias("pred_lang"), top.alias("top_score")
+    ).orderBy("doc_id")
+
+
+@register(
+    "quality_score",
+    oracle="""
+    SELECT doc_id,
+           n_chars,
+           len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+           round(length(text)::DOUBLE / len(regexp_split_to_array(trim(text), '\\s+')), 4) AS avg_token_len,
+           round((length(text) - length(replace(replace(replace(text, '.', ''), ',', ''), '!', '')))::DOUBLE
+                 / length(text), 4) AS punct_ratio,
+           CASE WHEN len(regexp_split_to_array(trim(text), '\\s+')) BETWEEN 10 AND 5000
+                 AND length(text)::DOUBLE / len(regexp_split_to_array(trim(text), '\\s+')) BETWEEN 3 AND 12
+                THEN 1 ELSE 0 END AS quality_keep
+    FROM documents ORDER BY doc_id
+    """,
+)
+def quality_score(spark, sf_dir):
+    """Gopher/C4-style quality gates: token count, mean token length,
+    punctuation ratio → keep flag. All JVM-side expressions."""
+    docs = _t(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    avg_tok = F.length("text").cast("double") / n_tokens
+    punct = (
+        F.length("text")
+        - F.length(
+            F.regexp_replace(F.col("text"), r"[.,!]", "")
+        )
+    ).cast("double") / F.length("text")
+    return docs.select(
+        "doc_id",
+        "n_chars",
+        n_tokens.alias("n_tokens"),
+        F.round(avg_tok, 4).alias("avg_token_len"),
+        F.round(punct, 4).alias("punct_ratio"),
+        F.when(
+            n_tokens.between(10, 5000) & avg_tok.between(3, 12), 1
+        )
+        .otherwise(0)
+        .alias("quality_keep"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "token_count",
+    oracle="""
+    SELECT doc_id,
+           len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS n_ws_tokens,
+           len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]')) AS n_bpeish_tokens,
+           len(list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+'))) AS n_distinct_tokens
+    FROM documents ORDER BY doc_id
+    """,
+)
+def token_count(spark, sf_dir):
+    """Whitespace + BPE-ish regex token counting (training-data budgeting)."""
+    docs = _t(spark, sf_dir, "documents")
+    lower = F.lower(F.col("text"))
+    ws = F.split(F.trim(lower), r"\s+")
+    return docs.select(
+        "doc_id",
+        F.size(ws).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(lower, F.lit(r"[a-z0-9]+|[^a-z0-9\s]"), 0)).alias(
+            "n_bpeish_tokens"
+        ),
+        F.size(F.array_distinct(ws)).alias("n_distinct_tokens"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "doc_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fingerprint
+    FROM documents ORDER BY doc_id
+    """,
+)
+def doc_fingerprint(spark, sf_dir):
+    """Canonical-form document fingerprint (whitespace-normalized md5)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5(F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")).alias(
+            "fingerprint"
+        ),
+    ).orderBy("doc_id")
+
+
+# ===========================================================================
+# 3. Deduplication operators
+# ===========================================================================
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS content_hash,
+           count(*) AS n_dups,
+           min(doc_id) AS keep_doc_id
+    FROM documents
+    GROUP BY 1
+    HAVING count(*) > 0
+    ORDER BY content_hash
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy on canonicalized content, keep min doc_id.
+    At 100 TB this is one shuffle on a 16-byte key with map-side combine."""
+    docs = _t(spark, sf_dir, "documents")
+    h = F.md5(F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " "))
+    return (
+        docs.groupBy(h.alias("content_hash"))
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.min("doc_id").alias("keep_doc_id"))
+        .orderBy("content_hash")
+    )
+
+
+_SHINGLES_SQL = """
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(ws) - 1, 1)),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+             )) AS shingles
+      FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
+            FROM documents)
+      WHERE len(ws) >= 3
+"""
+
+
+def _shingles_spark(docs):
+    ws = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    sh = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(ws) - 2, F.lit(1))),
+        lambda i: F.concat_ws(
+            " ", F.element_at(ws, i), F.element_at(ws, i + 1), F.element_at(ws, i + 2)
+        ),
+    )
+    return (
+        docs.where(F.size(ws) >= 3)
+        .select("doc_id", F.array_distinct(sh).alias("shingles"))
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(n_common::DOUBLE / (sa.n + sb.n - n_common), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE n_common::DOUBLE / (sa.n + sb.n - n_common) >= 0.2
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """3-gram shingle Jaccard near-dup pairs: explode shingles → equi-join
+    on shingle (the LSH-free exact variant) → per-pair intersection count →
+    Jaccard via inclusion-exclusion. The shingle join is the only wide op;
+    shingle key is low-cardinality-skew-safe (text n-grams)."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = _shingles_spark(docs)
+    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    sizes = sh.select("doc_id", F.size("shingles").alias("n"))
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_common")
+    )
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .where(jac >= 0.2)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+_MINHASH_K = 8
+_BAND_ROWS = 2  # 4 bands × 2 rows
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    hashes AS (
+      SELECT doc_id, k, min({_h32_sql("k::VARCHAR || ':' || s")}) AS minh
+      FROM ex CROSS JOIN (SELECT unnest(range(0, {_MINHASH_K})) AS k)
+      GROUP BY doc_id, k
+    ),
+    bands AS (
+      SELECT doc_id, (k // {_BAND_ROWS}) AS band,
+             string_agg(minh::VARCHAR, ',' ORDER BY k) AS bucket
+      FROM hashes GROUP BY doc_id, (k // {_BAND_ROWS})
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash + LSH banding: shingle → k minhashes (common md5-based hash
+    family, identical in the oracle) → band buckets → bucket equi-join →
+    candidate pairs. The scale path for near-dup at 10^12 docs: cost is
+    O(docs × k) + a join on band buckets instead of O(n²)."""
+    docs = _t(spark, sf_dir, "documents")
+    ex = _shingles_spark(docs).select("doc_id", F.explode("shingles").alias("s"))
+    ks = spark.range(_MINHASH_K).select(F.col("id").cast("int").alias("k"))
+    hashes = (
+        ex.crossJoin(F.broadcast(ks))
+        .groupBy("doc_id", "k")
+        .agg(
+            F.min(
+                _h32_spark(F.concat(F.col("k").cast("string"), F.lit(":"), F.col("s")))
+            ).alias("minh")
+        )
+    )
+    bands = (
+        hashes.withColumn("band", (F.col("k") / _BAND_ROWS).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("k"), F.col("minh")))
+                    ),
+                    lambda x: x["minh"].cast("string"),
+                ),
+            ).alias("bucket")
+        )
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+_SIMHASH_BITS = 16
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+'))) AS w
+      FROM documents
+    ),
+    wh AS (SELECT doc_id, {_h32_sql("w")} AS h FROM words),
+    bits AS (
+      SELECT doc_id,
+             { ", ".join(f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}" for j in range(_SIMHASH_BITS)) }
+      FROM wh GROUP BY doc_id
+    )
+    SELECT doc_id,
+           ({ " + ".join(f"(CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(_SIMHASH_BITS)) })::BIGINT AS simhash
+    FROM bits ORDER BY doc_id
+    """,
+)
+def dedup_simhash(spark, sf_dir):
+    """SimHash document sketches: per-word 32-bit hash → per-bit signed
+    vote → sign bit vector. One grouped aggregation; hamming-distance pair
+    search is a separate bounded self-join downstream."""
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+        ).alias("w"),
+    )
+    wh = words.select("doc_id", _h32_spark(F.col("w")).alias("h"))
+    bits = wh.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), j).bitwiseAND(1) == 1, 1).otherwise(-1)
+            ).alias(f"b{j}")
+            for j in range(_SIMHASH_BITS)
+        ]
+    )
+    sim = None
+    for j in range(_SIMHASH_BITS):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return bits.select("doc_id", sim.cast("long").alias("simhash")).orderBy("doc_id")
+
+
+# ===========================================================================
+# 4. Embedding similarity operators
+# ===========================================================================
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"list_dot_product({a}::DOUBLE[], {b}::DOUBLE[]) / "
+        f"(sqrt(list_dot_product({a}::DOUBLE[], {a}::DOUBLE[])) * "
+        f" sqrt(list_dot_product({b}::DOUBLE[], {b}::DOUBLE[])))"
+    )
+
+
+def _cos_spark(a, b):
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p * q),
+            F.lit(0.0).cast("double"),
+            lambda acc, v: acc + v,
+        )
+
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+@register(
+    "ann_cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    sims AS (
+      SELECT e.vec_id, e.label,
+             round({_cos_sql("e.embedding", "q.qv")}, 4) AS cosine
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> 0
+    )
+    SELECT vec_id, label, cosine
+    FROM sims
+    ORDER BY cosine DESC, vec_id
+    LIMIT 20
+    """,
+)
+def ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k vs a query vector (the exact baseline an
+    IVF/LSH path is measured against). Double-cast before arithmetic so the
+    fold order matches the oracle's list_dot_product."""
+    emb = _t(spark, sf_dir, "embeddings")
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    q = emb.where(F.col("vec_id") == 0).select(dbl.alias("qv"))
+    sims = (
+        emb.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            F.round(_cos_spark(dbl, F.col("qv")), 4).alias("cosine"),
+        )
+    )
+    return sims.orderBy(F.col("cosine").desc(), "vec_id").limit(20)
+
+
+@register(
+    "ann_lsh_buckets",
+    oracle=f"""
+    WITH planes AS (
+      SELECT p, list_transform(range(1, 65),
+               d -> CASE WHEN ({_h32_sql("p::VARCHAR || '-' || d::VARCHAR")}) % 2 = 0
+                         THEN 1.0 ELSE -1.0 END) AS pv
+      FROM (SELECT unnest(range(0, 8)) AS p)
+    )
+    SELECT e.vec_id,
+           sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], pl.pv) > 0
+                    THEN (1 << pl.p::INT) ELSE 0 END)::BIGINT AS bucket
+    FROM embeddings e CROSS JOIN planes pl
+    GROUP BY e.vec_id
+    ORDER BY e.vec_id
+    """,
+)
+def ann_lsh_buckets(spark, sf_dir):
+    """Random-hyperplane LSH bucketing (sign-random-projection): 8
+    md5-derived ±1 hyperplanes → 8-bit bucket id per vector. The scale path
+    for ANN: bucket equi-join replaces the O(n²) cosine cross join."""
+    emb = _t(spark, sf_dir, "embeddings")
+    planes = (
+        spark.range(8)
+        .select(F.col("id").cast("int").alias("p"))
+        .select(
+            "p",
+            F.transform(
+                F.sequence(F.lit(1), F.lit(64)),
+                lambda d: F.when(
+                    _h32_spark(
+                        F.concat(F.col("p").cast("string"), F.lit("-"), d.cast("string"))
+                    )
+                    % 2
+                    == 0,
+                    F.lit(1.0),
+                ).otherwise(F.lit(-1.0)),
+            ).alias("pv"),
+        )
+    )
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(dbl, F.col("pv"), lambda a, b: a * b),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+    return (
+        emb.crossJoin(F.broadcast(planes))
+        .groupBy("vec_id")
+        .agg(
+            F.sum(
+                F.when(dot > 0, F.expr("shiftleft(1, p)")).otherwise(0)
+            )
+            .cast("long")
+            .alias("bucket")
+        )
+        .orderBy("vec_id")
+    )
+
+
+@register(
+    "embedding_near_dup",
+    oracle=f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round({_cos_sql("a.embedding", "b.embedding")}, 4) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE a.vec_id < 150 AND b.vec_id < 150
+      AND {_cos_sql("a.embedding", "b.embedding")} >= 0.55
+    ORDER BY vec_a, vec_b
+    """,
+)
+def embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (bounded self-join window; the
+    LSH-bucketed variant above is the unbounded-scale path)."""
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 150)
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    a = emb.select(F.col("vec_id").alias("vec_a"), dbl.alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), dbl.alias("eb"))
+    cos = _cos_spark(F.col("ea"), F.col("eb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .where(cos >= 0.55)
+        .select("vec_a", "vec_b", F.round(cos, 4).alias("cosine"))
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+# ===========================================================================
+# 5. Docling-operator relational skeletons over lineitem-derived bboxes
+#    (SURVEY.md §2.8: J2, J6, A4, A7, A11, O1-assembly, J7-lag/lead)
+# ===========================================================================
+
+# table cells: a deterministic grid of boxes; pdf cells: smaller boxes
+_TCELLS_SQL = """
+      SELECT (l_orderkey % 50) AS cell_id,
+             ((l_orderkey % 50) % 10) * 100.0 AS x1,
+             (((l_orderkey % 50) // 10) * 60.0) AS y1,
+             ((l_orderkey % 50) % 10) * 100.0 + 90.0 AS x2,
+             (((l_orderkey % 50) // 10) * 60.0) + 50.0 AS y2
+      FROM lineitem GROUP BY 1, 2, 3, 4, 5
+"""
+_PCELLS_SQL = """
+      SELECT (l_orderkey * 10 + l_linenumber) AS pdf_id,
+             (l_partkey % 97) * 10.0 AS px1,
+             (l_suppkey % 53) * 5.0 AS py1,
+             (l_partkey % 97) * 10.0 + (5.0 + (l_quantity % 40)) AS px2,
+             (l_suppkey % 53) * 5.0 + (4.0 + ((l_partkey + l_suppkey) % 28)) AS py2
+      FROM lineitem WHERE l_linenumber <= 3
+"""
+
+
+def _tcells_spark(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    cid = F.col("l_orderkey") % 50
+    return li.select(
+        cid.alias("cell_id"),
+        ((cid % 10) * 100.0).alias("x1"),
+        (F.floor(cid / 10) * 60.0).alias("y1"),
+        ((cid % 10) * 100.0 + 90.0).alias("x2"),
+        (F.floor(cid / 10) * 60.0 + 50.0).alias("y2"),
+    ).distinct()
+
+
+def _pcells_spark(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_linenumber") <= 3)
+    return li.select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("pdf_id"),
+        ((F.col("l_partkey") % 97) * 10.0).alias("px1"),
+        ((F.col("l_suppkey") % 53) * 5.0).alias("py1"),
+        ((F.col("l_partkey") % 97) * 10.0 + (5.0 + F.col("l_quantity") % 40)).alias(
+            "px2"
+        ),
+        (
+            (F.col("l_suppkey") % 53) * 5.0
+            + (4.0 + (F.col("l_partkey") + F.col("l_suppkey")) % 28)
+        ).alias("py2"),
+    )
+
+
+@register(
+    "spatial_iopdf_join",
+    oracle=f"""
+    WITH t AS ({_TCELLS_SQL}), p AS ({_PCELLS_SQL})
+    SELECT t.cell_id, p.pdf_id,
+           round( (least(t.x2, p.px2) - greatest(t.x1, p.px1))
+                * (least(t.y2, p.py2) - greatest(t.y1, p.py1))
+                / ((p.px2 - p.px1) * (p.py2 - p.py1)), 4) AS iopdf
+    FROM t JOIN p
+      ON least(t.x2, p.px2) > greatest(t.x1, p.px1)
+     AND least(t.y2, p.py2) > greatest(t.y1, p.py1)
+    ORDER BY cell_id, pdf_id
+    """,
+)
+def spatial_iopdf_join(spark, sf_dir):
+    """J2 — the cell matcher's spatial theta-join
+    (tf_cell_matcher.py:465-527) as a relational range join:
+    intersection-over-pdf-cell-area score for every overlapping
+    (table_cell, pdf_cell) pair. The small cell grid broadcasts."""
+    t = _tcells_spark(spark, sf_dir)
+    p = _pcells_spark(spark, sf_dir)
+    ix = F.least(F.col("x2"), F.col("px2")) - F.greatest(F.col("x1"), F.col("px1"))
+    iy = F.least(F.col("y2"), F.col("py2")) - F.greatest(F.col("y1"), F.col("py1"))
+    iopdf = ix * iy / ((F.col("px2") - F.col("px1")) * (F.col("py2") - F.col("py1")))
+    return (
+        p.join(F.broadcast(t), (ix > 0) & (iy > 0))
+        .select("cell_id", "pdf_id", F.round(iopdf, 4).alias("iopdf"))
+        .orderBy("cell_id", "pdf_id")
+    )
+
+
+@register(
+    "band_orphan_join",
+    oracle=f"""
+    WITH t AS ({_TCELLS_SQL}), p AS ({_PCELLS_SQL}),
+    bands AS (
+      SELECT floor(y1 / 60.0)::BIGINT AS row_id, min(y1) AS band_y1, max(y2) AS band_y2
+      FROM t GROUP BY 1
+    ),
+    cand AS (
+      SELECT p.pdf_id, b.row_id,
+             round(abs((p.py1 + p.py2) / 2 - (b.band_y1 + b.band_y2) / 2), 4) AS depth
+      FROM p JOIN bands b
+        ON (p.py1 + p.py2) / 2 BETWEEN b.band_y1 AND b.band_y2
+    )
+    SELECT pdf_id, row_id, depth FROM (
+      SELECT pdf_id, row_id, depth,
+             row_number() OVER (PARTITION BY pdf_id ORDER BY depth, row_id) AS rn
+      FROM cand
+    ) WHERE rn = 1
+    ORDER BY pdf_id
+    """,
+)
+def band_orphan_join(spark, sf_dir):
+    """J6 — orphan-cell banding match
+    (matching_post_processor.py:780-1144) as an interval join of pdf-cell
+    centroids against per-row bands plus a min-depth window top-1 — the
+    relational skeleton of the reference's nested dedupe-by-depth loops."""
+    from pyspark.sql import Window
+
+    t = _tcells_spark(spark, sf_dir)
+    p = _pcells_spark(spark, sf_dir)
+    bands = (
+        t.groupBy(F.floor(F.col("y1") / 60.0).cast("long").alias("row_id"))
+        .agg(F.min("y1").alias("band_y1"), F.max("y2").alias("band_y2"))
+    )
+    cy = (F.col("py1") + F.col("py2")) / 2
+    cand = p.join(
+        F.broadcast(bands), cy.between(F.col("band_y1"), F.col("band_y2"))
+    ).select(
+        "pdf_id",
+        "row_id",
+        F.round(
+            F.abs(cy - (F.col("band_y1") + F.col("band_y2")) / 2), 4
+        ).alias("depth"),
+    )
+    w = Window.partitionBy("pdf_id").orderBy("depth", "row_id")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("pdf_id", "row_id", "depth")
+        .orderBy("pdf_id")
+    )
+
+
+@register(
+    "col_median_snap",
+    oracle=f"""
+    WITH p AS ({_PCELLS_SQL})
+    SELECT floor(px1 / 100.0)::BIGINT AS col_id,
+           count(*) AS n_cells,
+           round(median(px1), 4) AS med_x,
+           round(median(py1), 4) AS med_y,
+           round(median(px2 - px1), 4) AS med_w
+    FROM p GROUP BY 1 ORDER BY col_id
+    """,
+)
+def col_median_snap(spark, sf_dir):
+    """A4 — exact per-column medians (matching_post_processor.py:190-264).
+    Python statistics.median averages the middle pair; Spark median() and
+    DuckDB median() share that interpolation, so the semantics carry —
+    percentile_approx would NOT (SURVEY.md §7 hard-part 5)."""
+    p = _pcells_spark(spark, sf_dir)
+    return (
+        p.groupBy(F.floor(F.col("px1") / 100.0).cast("long").alias("col_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.round(F.median("px1"), 4).alias("med_x"),
+            F.round(F.median("py1"), 4).alias("med_y"),
+            F.round(F.median(F.col("px2") - F.col("px1")), 4).alias("med_w"),
+        )
+        .orderBy("col_id")
+    )
+
+
+@register(
+    "window_top1_match",
+    oracle=f"""
+    WITH t AS ({_TCELLS_SQL}), p AS ({_PCELLS_SQL}),
+    m AS (
+      SELECT t.cell_id, p.pdf_id,
+             (least(t.x2, p.px2) - greatest(t.x1, p.px1))
+           * (least(t.y2, p.py2) - greatest(t.y1, p.py1))
+           / ((p.px2 - p.px1) * (p.py2 - p.py1)) AS iopdf
+      FROM t JOIN p
+        ON least(t.x2, p.px2) > greatest(t.x1, p.px1)
+       AND least(t.y2, p.py2) > greatest(t.y1, p.py1)
+    )
+    SELECT pdf_id, cell_id, round(iopdf, 4) AS iopdf FROM (
+      SELECT pdf_id, cell_id, iopdf,
+             row_number() OVER (PARTITION BY pdf_id ORDER BY iopdf DESC, cell_id) AS rn
+      FROM m
+    ) WHERE rn = 1 ORDER BY pdf_id
+    """,
+)
+def window_top1_match(spark, sf_dir):
+    """A7 — final match assignment (matching_post_processor.py:720-755):
+    keep the best-scoring table cell per pdf cell = window top-1."""
+    from pyspark.sql import Window
+
+    t = _tcells_spark(spark, sf_dir)
+    p = _pcells_spark(spark, sf_dir)
+    ix = F.least(F.col("x2"), F.col("px2")) - F.greatest(F.col("x1"), F.col("px1"))
+    iy = F.least(F.col("y2"), F.col("py2")) - F.greatest(F.col("y1"), F.col("py1"))
+    m = (
+        p.join(F.broadcast(t), (ix > 0) & (iy > 0))
+        .select(
+            "pdf_id",
+            "cell_id",
+            (ix * iy / ((F.col("px2") - F.col("px1")) * (F.col("py2") - F.col("py1")))).alias(
+                "iopdf"
+            ),
+        )
+    )
+    w = Window.partitionBy("pdf_id").orderBy(F.col("iopdf").desc(), "cell_id")
+    return (
+        m.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("pdf_id", "cell_id", F.round("iopdf", 4).alias("iopdf"))
+        .orderBy("pdf_id")
+    )
+
+
+@register(
+    "dense_rank_compaction",
+    oracle="""
+    SELECT col_raw, dense_rank() OVER (ORDER BY col_raw) - 1 AS col_compact
+    FROM (SELECT DISTINCT (l_partkey % 37) * 3 AS col_raw FROM lineitem)
+    ORDER BY col_raw
+    """,
+)
+def dense_rank_compaction(spark, sf_dir):
+    """A11 — row/col index compaction (tf_predictor.py:502-564): distinct
+    raw indices → gap-free dense ranks."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    distinct_ids = li.select(((F.col("l_partkey") % 37) * 3).alias("col_raw")).distinct()
+    return distinct_ids.select(
+        "col_raw",
+        (F.dense_rank().over(Window.orderBy("col_raw")) - 1).alias("col_compact"),
+    ).orderBy("col_raw")
+
+
+@register(
+    "reading_order_assembly",
+    oracle="""
+    SELECT source AS url_group, lang,
+           string_agg(text, '\n\n' ORDER BY doc_id) AS doc_text,
+           count(*) AS n_blocks
+    FROM documents
+    GROUP BY source, lang
+    ORDER BY url_group, lang
+    """,
+)
+def reading_order_assembly(spark, sf_dir):
+    """O1 outer assembly (reading_order_rb.py:109-114): final document text
+    = ordered concatenation of elements per document — window-free grouped
+    sort-aggregate."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.col("source").alias("url_group"), "lang")
+        .agg(
+            F.concat_ws(
+                "\n\n",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+                    lambda x: x["text"],
+                ),
+            ).alias("doc_text"),
+            F.count(F.lit(1)).alias("n_blocks"),
+        )
+        .orderBy("url_group", "lang")
+    )
+
+
+@register(
+    "caption_link_adjacency",
+    oracle="""
+    WITH ordered AS (
+      SELECT event_id, user_id, event_type, ts,
+             lag(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_id,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      FROM events
+    )
+    SELECT event_id, user_id, prev_id
+    FROM ordered
+    WHERE event_type = 'click' AND prev_type = 'view'
+    ORDER BY event_id
+    """,
+)
+def caption_link_adjacency(spark, sf_dir):
+    """J7/J8 skeleton — caption/footnote linking
+    (reading_order_rb.py:117-142,610-633) as lag/lead adjacency over a
+    reading-ordered sequence: link each 'click' to an immediately preceding
+    'view' (label-pair scan-adjacent join)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.lag("event_id").over(w).alias("prev_id"),
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+    return (
+        ordered.where((F.col("event_type") == "click") & (F.col("prev_type") == "view"))
+        .select("event_id", "user_id", "prev_id")
+        .orderBy("event_id")
+    )
+
+
+# ===========================================================================
+# 6. Flagship: end-to-end extraction byte-identity (north rule gate)
+# ===========================================================================
+
+@register(
+    "extract_match",
+    oracle="""
+    SELECT 'https://' || source || '.example.org/' || lang || '/doc-'
+             || lpad(doc_id::VARCHAR, 8, '0') || '-0' AS url,
+           lang,
+           1 AS is_match
+    FROM documents
+    ORDER BY url
+    """,
+)
+def extract_match(spark, sf_dir):
+    """North-rule gate as an oracle-checked query: synthesize pages from
+    documents, run the full extraction pipeline (Arrow-batched mapInPandas),
+    and emit is_match = (extracted_text == ground-truth text) per url. The
+    oracle asserts every url matches byte-identically: any extraction
+    regression flips is_match to 0 and fails the value hash."""
+    from docling_ibm_models_spark.pipeline.extract import (
+        doc_text_clean,
+        extract_doc_text,
+    )
+    from docling_ibm_models_spark.sources.pages_source import pages_from_documents
+
+    pages = pages_from_documents(spark, sf_dir)
+    out = doc_text_clean(extract_doc_text(pages))
+    return (
+        out.join(pages.select("url", F.col("text").alias("expected")), "url")
+        .select(
+            "url",
+            "lang",
+            (F.col("extracted_text") == F.col("expected")).cast("int").alias("is_match"),
+        )
+        .orderBy("url")
+    )

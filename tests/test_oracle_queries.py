@@ -1,0 +1,78 @@
+"""Driver-style correctness harness: every queries() entry vs its DuckDB
+oracle at sf0.01 — row count, column names, and order-insensitive values."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from docling_ibm_models_spark.plans.queries import ORACLES, QUERIES
+
+from .conftest import SF_MED
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_MED}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def _norm(v):
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return int(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return round(v, 4)
+    if isinstance(v, int):
+        return v
+    try:  # Decimal and friends
+        import decimal
+
+        if isinstance(v, decimal.Decimal):
+            return round(float(v), 4)
+    except Exception:
+        pass
+    return str(v)
+
+
+def _rows_to_set(cols, rows):
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(_norm(r[i]) for i in idx) for r in rows)
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES.keys()))
+def test_query_matches_oracle(spark, duck, name):
+    sdf = QUERIES[name](spark, SF_MED)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+
+    if name not in ORACLES:
+        assert len(srows) >= 0  # rows-only check, like the driver
+        return
+    res = duck.execute(ORACLES[name])
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+
+    assert sorted(scols) == sorted(dcols), f"{name}: column names differ"
+    assert len(srows) == len(drows), f"{name}: row count {len(srows)} vs {len(drows)}"
+    sset = _rows_to_set(scols, srows)
+    dset = _rows_to_set(dcols, drows)
+    if sset != dset:
+        diff_s = [r for r in sset if r not in dset][:5]
+        diff_d = [r for r in dset if r not in sset][:5]
+        raise AssertionError(f"{name}: value mismatch\nspark-only={diff_s}\nduck-only={diff_d}")
