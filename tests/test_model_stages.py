@@ -1,0 +1,120 @@
+"""Model-stage plumbing: pages → page_recs → layout / table structure,
+with broadcast weights and executor singletons. Kernels are deterministic
+stubs; the per-table chain is the reference-parity operator stack."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from docling_ibm_models_spark.models import harness
+from docling_ibm_models_spark.models.layout_stub import default_weights as layout_w
+from docling_ibm_models_spark.models.tableformer_stub import (
+    DeterministicTableFormer,
+)
+from docling_ibm_models_spark.models.tableformer_stub import (
+    default_weights as tf_w,
+)
+from docling_ibm_models_spark.pipeline.stages import (
+    layout_stage,
+    page_records_stage,
+    table_structure_stage,
+    typeset_tokens,
+)
+from docling_ibm_models_spark.sources.pages_source import pages_from_documents
+
+from .conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def page_recs(spark):
+    pages = pages_from_documents(spark, SF_SMALL).limit(60)
+    return page_records_stage(pages).cache()
+
+
+def test_page_records_schema_and_tokens(spark, page_recs):
+    rows = page_recs.collect()
+    assert len(rows) == 60
+    for r in rows[:10]:
+        assert r.width == 1237 and r.height == 1612
+        assert len(r.tokens) > 0
+        for t in r.tokens[:5]:
+            assert t.r > t.l and t.b > t.t
+
+
+def test_layout_stage_clusters(spark, page_recs):
+    bc = harness.broadcast_weights(spark, layout_w())
+    clusters = layout_stage(page_recs, bc)
+    rows = clusters.collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert 0 <= r.l <= 1237 and 0 <= r.r <= 1237
+        assert 0 <= r.t <= 1612 and 0 <= r.b <= 1612
+        assert r.confidence >= 0.3
+        assert r.label in {
+            "Caption", "Footnote", "Formula", "List-item", "Page-footer",
+            "Page-header", "Picture", "Section-header", "Table", "Text",
+            "Title", "Document Index", "Code", "Checkbox-Selected",
+            "Checkbox-Unselected", "Form", "Key-Value Region", "Paragraph",
+        }
+    # determinism: second run identical
+    again = sorted(map(tuple, clusters.collect()))
+    assert sorted(map(tuple, rows)) == again
+
+
+def test_table_structure_stage(spark, page_recs):
+    bc = harness.broadcast_weights(spark, tf_w())
+    tables = table_structure_stage(page_recs, bc)
+    rows = tables.collect()
+    assert len(rows) > 0
+    non_empty = [r for r in rows if r.table_cells]
+    # a table region with no tokens legitimately yields no cells; but most
+    # regions sit over the typeset text zone
+    assert len(non_empty) >= len(rows) * 0.5
+    for r in non_empty:
+        assert r.num_rows >= 1 and r.num_cols >= 1
+        assert len(r.otsl_seq) > 0
+        for c in r.table_cells:
+            assert c.end_row_offset_idx == c.start_row_offset_idx + c.row_span
+            assert c.end_col_offset_idx == c.start_col_offset_idx + c.col_span
+
+
+def test_table_stage_matches_local_chain(spark, page_recs):
+    """Distributed result == running the same deterministic chain locally."""
+    bc = harness.broadcast_weights(spark, tf_w())
+    first = page_recs.orderBy("url").first()
+    spark_rows = (
+        table_structure_stage(page_recs, bc)
+        .where(F.col("url") == first.url)
+        .orderBy("table_id")
+        .collect()
+    )
+    model = DeterministicTableFormer(tf_w())
+    iocr = {
+        "tokens": [
+            {"id": t.id, "text": t.text, "bbox": [t.l, t.t, t.r, t.b]}
+            for t in first.tokens
+        ],
+        "width": first.width,
+        "height": first.height,
+    }
+    for t_idx, bbox in enumerate(first.table_bboxes):
+        local = model.predict_table(
+            iocr, list(bbox), bytes(first.image) + bytes([t_idx])
+        )
+        got = spark_rows[t_idx]
+        assert list(got.otsl_seq) == local["otsl_seq"]
+        assert got.num_rows == local["num_rows"]
+        assert got.num_cols == local["num_cols"]
+        assert len(got.table_cells) == len(local["tf_cells"])
+        for gc, lc in zip(got.table_cells, local["tf_cells"]):
+            assert gc.row_span == lc["row_span"]
+            assert gc.start_col_offset_idx == lc["start_col_offset_idx"]
+            assert len(gc.text_cell_bboxes) == len(lc["text_cell_bboxes"])
+
+
+def test_typeset_deterministic():
+    a = typeset_tokens("alpha beta gamma delta " * 30)
+    b = typeset_tokens("alpha beta gamma delta " * 30)
+    assert a == b
+    assert any(t["t"] > a[0]["t"] for t in a)  # wrapped to multiple lines
