@@ -1,0 +1,83 @@
+"""Structured-Streaming shape of the pipeline (SURVEY.md §2.7).
+
+The reference has no incremental machinery; the north rule's requirement is
+*resumability*, which the batch path satisfies with file-group lineage
+(pipeline/lineage.py). This module provides the complementary
+Structured-Streaming form for continuously-arriving pages:
+
+* ``stream_extract`` — file-source stream over a pages directory →
+  the same Arrow-batched extraction kernel → parquet sink with a
+  checkpoint; ``Trigger.AvailableNow`` drains what exists and stops, and
+  the checkpoint makes re-runs process only NEW files (exactly-once per
+  file — the streaming twin of the lineage anti-join).
+* ``stream_events_windowed`` — watermarked tumbling-window aggregation
+  over an event stream (the standard late-data-tolerant windowed agg; its
+  batch twin is the oracle-checked ``events_hourly`` query).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from docling_ibm_models_spark import schemas
+from docling_ibm_models_spark.pipeline.extract import (
+    _extract_batches,
+)
+
+
+def stream_extract(
+    spark: SparkSession,
+    pages_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    await_termination: bool = True,
+):
+    """pages parquet dir (streaming file source) → doc_text parquet sink.
+
+    Returns the finished StreamingQuery. AvailableNow + checkpoint =
+    incremental batch: each invocation processes only files not yet
+    committed to the checkpoint's file log."""
+    pages = spark.readStream.schema(schemas.PAGES).parquet(pages_dir)
+    extracted = (
+        pages.withColumn("partition_id", F.lit(0))
+        .select("url", "lang", "html", "partition_id")
+        .mapInPandas(_extract_batches, schema=_extract_schema())
+        .drop("wall_s")
+    )
+    q = (
+        extracted.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if await_termination:
+        q.awaitTermination()
+    return q
+
+
+def _extract_schema():
+    from docling_ibm_models_spark.pipeline.extract import _EXTRACT_SCHEMA
+
+    return _EXTRACT_SCHEMA
+
+
+def stream_events_windowed(events_stream: DataFrame) -> DataFrame:
+    """Watermarked 1-hour tumbling windows per event_type (late data up to
+    2 hours folded in; older dropped)."""
+    return (
+        events_stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("hour_ts"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )

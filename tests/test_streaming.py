@@ -1,0 +1,87 @@
+"""Structured-Streaming extraction: AvailableNow drain + checkpointed
+incremental re-run; watermarked windowed agg matches its batch twin."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from docling_ibm_models_spark.sources.pages_source import pages_from_documents
+from docling_ibm_models_spark.streaming.stream_extract import (
+    stream_events_windowed,
+    stream_extract,
+)
+
+from .conftest import SF_SMALL
+
+
+def test_stream_extract_incremental(spark, tmp_path):
+    pages_dir = str(tmp_path / "pages_stream")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    pages = pages_from_documents(spark, SF_SMALL, parallelism=4).cache()
+    first_half = pages.limit(200)
+    first_half.write.mode("append").parquet(pages_dir)
+
+    stream_extract(spark, pages_dir, out_dir, ckpt)
+    n1 = spark.read.parquet(out_dir).count()
+    assert n1 == 200
+
+    # new files arrive; re-run processes ONLY them (checkpoint file log)
+    pages.subtract(first_half).write.mode("append").parquet(pages_dir)
+    stream_extract(spark, pages_dir, out_dir, ckpt)
+    result = spark.read.parquet(out_dir)
+    assert result.count() == 500
+    assert result.select("url").distinct().count() == 500
+
+    # byte-identity holds through the streaming path too
+    joined = result.join(pages.select("url", F.col("text").alias("expected")), "url")
+    assert joined.filter(F.col("extracted_text") != F.col("expected")).count() == 0
+
+
+def test_stream_events_windowed_matches_batch(spark, tmp_path):
+    events_path = "/root/testdata/sf0.001/events.parquet"
+    batch = spark.read.parquet(events_path)
+    stream = spark.readStream.schema(batch.schema).parquet(
+        "/root/testdata/sf0.001"
+    )  # dir contains only parquet files; filter to events columns
+    # simpler: restage events into an isolated dir
+    ev_dir = str(tmp_path / "events")
+    batch.write.parquet(ev_dir)
+    stream = spark.readStream.schema(batch.schema).parquet(ev_dir)
+
+    out_dir = str(tmp_path / "agg_out")
+    q = (
+        stream_events_windowed(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "agg_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.hour_ts, r.event_type): (r.n_events, r.sum_value)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    expected = {
+        (r.hour_ts, r.event_type): (r.n_events, r.sum_value)
+        for r in (
+            batch.groupBy(
+                F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour_ts"),
+                "event_type",
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 2).alias("sum_value"),
+            )
+            .collect()
+        )
+    }
+    # append mode emits only windows closed by the watermark; everything
+    # emitted must match the batch result, and most windows should close
+    assert got
+    for k, v in got.items():
+        assert expected[k] == v
+    assert len(got) >= len(expected) - 3
