@@ -192,6 +192,9 @@ def main() -> None:
     thr_big = n_pages / wall_big
     thr_full = n_pages / r_full["wall_s"]
     efficiency = thr_big / (4.0 * thr_small)
+    # determinism across parallelism levels: identical total output chars
+    all_chars = {r["chars"] for rs in runs.values() for r in rs} | {r_full["chars"]}
+    identical_outputs = len(all_chars) == 1
 
     queries = {
         "extract_local_small": round(r_small["wall_s"], 3),
@@ -223,6 +226,7 @@ def main() -> None:
                     "steal_small": r_small["steal"],
                     "steal_big": r_big["steal"],
                     "steal_full": r_full.get("steal_frac"),
+                    "identical_outputs_across_parallelism": identical_outputs,
                 },
             }
         )
