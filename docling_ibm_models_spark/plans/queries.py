@@ -1010,20 +1010,35 @@ def extract_match(spark, sf_dir):
     and emit is_match = (extracted_text == ground-truth text) per url. The
     oracle asserts every url matches byte-identically: any extraction
     regression flips is_match to 0 and fails the value hash."""
-    from docling_ibm_models_spark.pipeline.extract import (
-        doc_text_clean,
-        extract_doc_text,
-    )
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    from docling_ibm_models_spark.functions.html_extract import extract_main_content
     from docling_ibm_models_spark.sources.pages_source import pages_from_documents
 
-    pages = pages_from_documents(spark, sf_dir)
-    out = doc_text_clean(extract_doc_text(pages))
-    return (
-        out.join(pages.select("url", F.col("text").alias("expected")), "url")
-        .select(
-            "url",
-            "lang",
-            (F.col("extracted_text") == F.col("expected")).cast("int").alias("is_match"),
-        )
-        .orderBy("url")
+    schema = StructType(
+        [
+            StructField("url", StringType(), False),
+            StructField("lang", StringType(), True),
+            StructField("is_match", IntegerType(), False),
+        ]
     )
+
+    def check(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            matches = [
+                int(extract_main_content(h)[0] == t)
+                for h, t in zip(pdf["html"], pdf["text"])
+            ]
+            yield pd.DataFrame(
+                {"url": pdf["url"], "lang": pdf["lang"], "is_match": matches}
+            )
+
+    # single narrow pass: generate → extract → compare inside one Arrow
+    # batch (no second generation, no join shuffle)
+    pages = pages_from_documents(spark, sf_dir)
+    return pages.mapInPandas(check, schema=schema).orderBy("url")
