@@ -162,6 +162,181 @@ def events_hourly(spark, sf_dir):
     )
 
 
+@register(
+    "tpch_q3_shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND l.l_shipdate > o.o_orderdate
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 20
+    """,
+)
+def tpch_q3_shipping_priority(spark, sf_dir):
+    """Q3-style: selective dim filter pushed down, fact-fact join, grouped
+    revenue, deterministic top-k."""
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .where(F.col("l_shipdate") > F.col("o_orderdate"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(20)
+    )
+
+
+@register(
+    "supplier_part_volume",
+    oracle="""
+    SELECT p.p_brand, n.n_name AS nation,
+           count(*) AS n_lineitems,
+           round(sum(l.l_quantity), 2) AS total_qty
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand, n.n_name
+    ORDER BY p_brand, nation
+    """,
+)
+def supplier_part_volume(spark, sf_dir):
+    """Q5-flavored multi-dim star join, all dims broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    p = _t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+        )
+        .orderBy("p_brand", "nation")
+    )
+
+
+@register(
+    "events_sessionize",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, event_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM marked
+    )
+    SELECT user_id, session_no,
+           count(*) AS n_events,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start
+    FROM sess
+    GROUP BY user_id, session_no
+    ORDER BY user_id, session_no
+    """,
+)
+def events_sessionize(spark, sf_dir):
+    """Sessionization: 30-min-gap session ids via lag + running sum —
+    the batch shape of a stateful streaming sessionizer."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("timestamp").cast("long")  # NTZ -> ts -> seconds
+    gap = epoch - F.lag(epoch).over(w)
+    marked = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0),
+    )
+    sess = marked.withColumn(
+        "session_no",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        sess.groupBy("user_id", "session_no")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        )
+        .orderBy("user_id", "session_no")
+    )
+
+
+@register(
+    "topk_orders_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    ORDER BY o_custkey, o_totalprice DESC, o_orderkey
+    """,
+)
+def topk_orders_per_customer(spark, sf_dir):
+    """Window top-k per group (generic form of A7's top-1)."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey", F.col("o_totalprice").desc(), "o_orderkey")
+    )
+
+
+@register(
+    "binary_payload_meta",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_utf8_bytes,
+           md5(text) AS payload_md5
+    FROM documents ORDER BY doc_id
+    """,
+)
+def binary_payload_meta(spark, sf_dir):
+    """Binary-column metadata shape (multimodal §: opaque payload → typed
+    metadata), oracle-checkable via utf8 re-encoding."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.length(F.encode(F.col("text"), "utf-8")).cast("long").alias("n_utf8_bytes"),
+        F.md5(F.col("text")).alias("payload_md5"),
+    ).orderBy("doc_id")
+
+
 # ===========================================================================
 # 2. Text-analysis operators over documents (SURVEY.md build-plan additions)
 # ===========================================================================
