@@ -1,0 +1,98 @@
+"""Code/formula predictor (M7) and figure classifier (M8) — deterministic
+parts from scratch, neural forwards stubbed.
+
+Parity surfaces (verified in tests/test_aux_predictors.py by importing the
+reference with fake torch modules; no code copied):
+* ``strip_latex_tail`` ↔ reference ``CodeFormulaPredictor._strip``
+  (/root/reference/docling_ibm_models/code_formula_model/code_formula_predictor.py:146-169)
+  — P18, the iterative trailing-junk stripper for generated LaTeX/code;
+* ``build_prompt`` ↔ ``_get_prompt`` (:109-144) — the 256-<imgpad> VLM
+  prompt template;
+* ``topk_sort`` ↔ the classifier's per-image descending prob sort
+  (document_figure_classifier_predictor.py:170-175) — A13.
+
+*** The SAM-ViT + OPT generate (M7) and EfficientNet forward (M8) are
+DETERMINISTIC FAKES (md5-seeded), as torch/weights are unavailable; batch
+shaping and output contracts are real. ***
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+_REMOVE_TAIL = [r"\quad", r"\\", r"\,", " c c c c", " l l l l l"]
+
+FIGURE_CLASSES = [
+    "bar_chart", "bar_code", "chemistry_markush_structure",
+    "chemistry_molecular_structure", "flow_chart", "icon", "line_chart",
+    "logo", "map", "other", "pie_chart", "qr_code", "remote_sensing",
+    "screenshot", "signature", "stamp",
+]
+
+
+def strip_latex_tail(text: str) -> str:
+    """P18 — iteratively strip trailing ``\\quad``/``\\\\``/… then
+    whitespace (reference-parity)."""
+    changed = True
+    while changed:
+        changed = False
+        for sub in _REMOVE_TAIL:
+            if text.endswith(sub):
+                text = text[: -len(sub)]
+                changed = True
+    return text.strip()
+
+
+def build_prompt(label: str) -> str:
+    """M7 prompt template (reference-parity): 256 image-pad tokens + the
+    code/formula query."""
+    if label == "code":
+        query = "<code_image_to_text>"
+    elif label == "formula":
+        query = "<equation>"
+    else:
+        raise NotImplementedError("Label must be either code or formula")
+    return (
+        "A chat between a curious user and an artificial intelligence"
+        " assistant. The assistant gives helpful, detailed, and polite answers to"
+        " the user's questions. USER: "
+        + "<img>" + "<imgpad>" * 256 + "</img>" + "\n" + " ASSISTANT:" + "\n" + query
+    )
+
+
+def topk_sort(class_probs: list[float], classes: list[str] | None = None):
+    """A13 — per-image (class, prob) list sorted by prob desc
+    (reference-parity: stable sort, original order on ties)."""
+    classes = classes or FIGURE_CLASSES
+    preds = [(classes[i], p) for i, p in enumerate(class_probs)]
+    preds.sort(key=lambda t: t[1], reverse=True)
+    return preds
+
+
+class DeterministicCodeFormulaPredictor:
+    """M7 stand-in: prompt build + stubbed generate + real tail strip."""
+
+    def predict(self, images: list[bytes], labels: list[str]) -> list[str]:
+        out = []
+        for img, label in zip(images, labels):
+            _prompt = build_prompt(label)  # raises on bad label, like reference
+            h = hashlib.md5(img or b"").hexdigest()
+            fake = (
+                f"x = {int(h[:4], 16) % 100}" if label == "code"
+                else f"\\frac{{{int(h[:2], 16)}}}{{{int(h[2:4], 16) + 1}}}" + r"\quad\\"
+            )
+            out.append(strip_latex_tail(fake))
+        return out
+
+
+class DeterministicFigureClassifier:
+    """M8 stand-in: stubbed softmax + real top-k contract."""
+
+    def predict(self, images: list[bytes]) -> list[list[tuple[str, float]]]:
+        batch = []
+        for img in images:
+            h = hashlib.md5(img or b"").digest()
+            raw = [h[i % 16] + 1 for i in range(len(FIGURE_CLASSES))]
+            total = float(sum(raw))
+            batch.append(topk_sort([v / total for v in raw]))
+        return batch

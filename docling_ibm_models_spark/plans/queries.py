@@ -1217,3 +1217,86 @@ def extract_match(spark, sf_dir):
     # batch (no second generation, no join shuffle)
     pages = pages_from_documents(spark, sf_dir)
     return pages.mapInPandas(check, schema=schema).orderBy("url")
+
+
+# ===========================================================================
+# 7. Pipeline-stage queries (rows-only checks — model stages use stub
+#    kernels and grouped python UDFs, not expressible as DuckDB SQL)
+# ===========================================================================
+
+@register("pipeline_layout_clusters")
+def pipeline_layout_clusters(spark, sf_dir):
+    """pages → page_recs → layout stage (M1 stub behind the real serving
+    harness); returns exploded clusters."""
+    from docling_ibm_models_spark.models import harness
+    from docling_ibm_models_spark.models.layout_stub import default_weights
+    from docling_ibm_models_spark.pipeline.stages import (
+        layout_stage,
+        page_records_stage,
+    )
+    from docling_ibm_models_spark.sources.pages_source import pages_from_documents
+
+    pages = pages_from_documents(spark, sf_dir).limit(200)
+    bc = harness.broadcast_weights(spark, default_weights())
+    return layout_stage(page_records_stage(pages), bc).orderBy("url", "l", "t")
+
+
+@register("pipeline_table_cells")
+def pipeline_table_cells(spark, sf_dir):
+    """pages → page_recs → table-structure stage (stubbed decode feeding
+    the reference-parity chain); returns per-table summaries."""
+    from docling_ibm_models_spark.models import harness
+    from docling_ibm_models_spark.models.tableformer_stub import default_weights
+    from docling_ibm_models_spark.pipeline.stages import (
+        page_records_stage,
+        table_structure_stage,
+    )
+    from docling_ibm_models_spark.sources.pages_source import pages_from_documents
+
+    pages = pages_from_documents(spark, sf_dir).limit(100)
+    bc = harness.broadcast_weights(spark, default_weights())
+    tables = table_structure_stage(page_records_stage(pages), bc)
+    return tables.select(
+        "url", "table_id", "num_rows", "num_cols",
+        F.size("table_cells").alias("n_cells"),
+        F.size("otsl_seq").alias("n_tags"),
+    ).orderBy("url", "table_id")
+
+
+@register("pipeline_reading_order")
+def pipeline_reading_order(spark, sf_dir):
+    """Synthetic multi-column layouts → grouped reading-order stage →
+    ranked elements (graph algorithm; rows-only check)."""
+    from docling_ibm_models_spark import schemas
+    from docling_ibm_models_spark.pipeline.doc_assembly import order_elements
+    from docling_ibm_models_spark.sources.elements_source import (
+        shuffled,
+        synth_page_elements,
+    )
+
+    rows = []
+    for d in range(24):
+        for e in shuffled(synth_page_elements(d), d * 3 + 1):
+            rows.append(
+                (
+                    f"doc-{d}", e.page_no, e.cid, f"text-{e.cid}", e.label,
+                    float(e.l), float(e.r), float(e.t), float(e.b),
+                    float(e.page_width), float(e.page_height),
+                )
+            )
+    df = spark.createDataFrame(rows, schema=schemas.PAGE_ELEMENT)
+    return order_elements(df).select(
+        "url", "cid", "label", "reading_rank"
+    ).orderBy("url", "reading_rank")
+
+
+@register("pipeline_media_meta")
+def pipeline_media_meta(spark, sf_dir):
+    """Multimodal binary-column stage: MIME sniff + hash + stub features."""
+    from docling_ibm_models_spark.operators.multimodal import media_metadata_stage
+    from docling_ibm_models_spark.sources.pages_source import pages_from_documents
+
+    pages = pages_from_documents(spark, sf_dir).limit(200)
+    return media_metadata_stage(pages).select(
+        "url", "mime", "n_bytes", "content_hash"
+    ).orderBy("url")
