@@ -1300,3 +1300,72 @@ def pipeline_media_meta(spark, sf_dir):
     return media_metadata_stage(pages).select(
         "url", "mime", "n_bytes", "content_hash"
     ).orderBy("url")
+
+
+@register("pipeline_table_profile")
+def pipeline_table_profile(spark, sf_dir):
+    """Per-stage wall time under the reference's profiler section names
+    (BASELINE.md comparability protocol), aggregated across tables."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, LongType, StringType, StructField, StructType
+
+    from docling_ibm_models_spark.models.tableformer_stub import (
+        DeterministicTableFormer,
+        default_weights,
+    )
+    from docling_ibm_models_spark.pipeline.stages import page_records_stage
+    from docling_ibm_models_spark.sources.pages_source import pages_from_documents
+
+    schema = StructType(
+        [
+            StructField("section", StringType(), False),
+            StructField("total_s", DoubleType(), False),
+            StructField("n_tables", LongType(), False),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from docling_ibm_models_spark.functions.profiler import SectionProfiler
+        from docling_ibm_models_spark.models import harness
+
+        model = harness.get_or_create(
+            "tableformer", lambda: DeterministicTableFormer(default_weights())
+        )
+        prof = SectionProfiler()
+        n = 0
+        for pdf in batches:
+            for r in pdf.itertuples():
+                iocr = {
+                    "tokens": [
+                        {"id": int(t["id"]), "text": t["text"],
+                         "bbox": [t["l"], t["t"], t["r"], t["b"]]}
+                        for t in r.tokens
+                    ],
+                    "width": int(r.width),
+                    "height": int(r.height),
+                }
+                for t_idx, bbox in enumerate(r.table_bboxes):
+                    model.predict_table(
+                        iocr, list(bbox), bytes(r.image or b"") + bytes([t_idx]),
+                        profiler=prof,
+                    )
+                    n += 1
+        rows = [
+            {"section": k, "total_s": v, "n_tables": n}
+            for k, v in prof.snapshot().items()
+        ]
+        if rows:
+            yield pd.DataFrame(rows)
+
+    recs = page_records_stage(pages_from_documents(spark, sf_dir).limit(100))
+    per_task = recs.mapInPandas(gen, schema=schema)
+    return (
+        per_task.groupBy("section")
+        .agg(
+            F.round(F.sum("total_s"), 4).alias("total_s"),
+            F.sum("n_tables").alias("n_tables"),
+        )
+        .orderBy("section")
+    )
