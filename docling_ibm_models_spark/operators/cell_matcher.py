@@ -108,9 +108,21 @@ def match_iopdf(table_cells, pdf_cells):
         (p["bbox"][2] - p["bbox"][0]) * (p["bbox"][3] - p["bbox"][1])
         for p in pdf_cells
     ]
+    # skip exact-duplicate (cell_id, bbox) entries: they would generate
+    # byte-identical match records, which the value-dedupe below drops
+    # anyway — pruning them up front is output-equivalent but avoids
+    # re-running the whole pdf loop per duplicate (post-processor step 1
+    # legitimately produces many duplicates)
+    seen_cells: set[tuple] = set()
+    unique_cells = []
+    for tcell in table_cells:
+        key = (tcell["cell_id"], tuple(tcell["bbox"]))
+        if key not in seen_cells:
+            seen_cells.add(key)
+            unique_cells.append(tcell)
     matches: dict[int, list[dict]] = {}
     count = 0
-    for tcell in table_cells:
+    for tcell in unique_cells:
         tid = tcell["cell_id"]
         tb = tcell["bbox"]
         for j, pcell in enumerate(pdf_cells):

@@ -240,43 +240,70 @@ def align_cells_to_pdf(table_cells, pdf_cells, matches):
     bbox, then envelope duplicates (min/min/max/max) and dedupe keeping the
     last occurrence of each identical dict (reference :470-577)."""
     new_cells = []
+    # positional index: cell_id → cells in list order (exact equivalent of
+    # the reference's per-match full scan; single-id fast path below)
+    by_id: dict[int, list[dict]] = {}
+    for c in table_cells:
+        by_id.setdefault(c["cell_id"], []).append(c)
+    pdf_by_id = {p["id"]: p["bbox"] for p in pdf_cells}
     for pdf_id, mlist in matches.items():
         wanted = []
         for m in mlist:
             tid = int(m["table_cell_id"])
             if tid not in wanted:
                 wanted.append(tid)
-        pdf_bbox = []
-        for p in pdf_cells:
-            if p["id"] == int(pdf_id):
-                pdf_bbox = p["bbox"]
-        for c in table_cells:
-            if c["cell_id"] in wanted:
-                nc = {
-                    "bbox": list(pdf_bbox),
-                    "cell_id": c["cell_id"],
-                    "column_id": c["column_id"],
-                    "label": c["label"],
-                    "row_id": c["row_id"],
-                    "cell_class": c.get("cell_class", "2"),
-                }
-                if "colspan_val" in c:
-                    nc["colspan_val"] = c["colspan_val"]
-                if "rowspan_val" in c:
-                    nc["rowspan_val"] = c["rowspan_val"]
-                new_cells.append(nc)
+        pdf_bbox = pdf_by_id.get(int(pdf_id), [])
+        if len(wanted) == 1:
+            selected = by_id.get(wanted[0], [])
+        else:
+            selected = [c for c in table_cells if c["cell_id"] in wanted]
+        for c in selected:
+            nc = {
+                "bbox": list(pdf_bbox),
+                "cell_id": c["cell_id"],
+                "column_id": c["column_id"],
+                "label": c["label"],
+                "row_id": c["row_id"],
+                "cell_class": c.get("cell_class", "2"),
+            }
+            if "colspan_val" in c:
+                nc["colspan_val"] = c["colspan_val"]
+            if "rowspan_val" in c:
+                nc["rowspan_val"] = c["rowspan_val"]
+            new_cells.append(nc)
 
-    for nc in new_cells:
-        cid = nc["cell_id"]
-        boxes = [c["bbox"] for c in new_cells if c["cell_id"] == cid]
-        if len(boxes) > 1:
-            nc["bbox"] = [
-                min(b[0] for b in boxes),
-                min(b[1] for b in boxes),
-                max(b[2] for b in boxes),
-                max(b[3] for b in boxes),
-            ]
-    return [c for i, c in enumerate(new_cells) if c not in new_cells[i + 1 :]]
+    # envelope duplicates: one grouped pass instead of the reference's
+    # O(n²) rescans — identical result (same min/min/max/max over the same
+    # per-cell_id boxes; untouched when a cell_id occurs once)
+    env: dict[int, list[float]] = {}
+    counts: dict[int, int] = {}
+    for c in new_cells:
+        cid = c["cell_id"]
+        b = c["bbox"]
+        counts[cid] = counts.get(cid, 0) + 1
+        e = env.get(cid)
+        if e is None:
+            env[cid] = [b[0], b[1], b[2], b[3]]
+        else:
+            e[0] = min(e[0], b[0])
+            e[1] = min(e[1], b[1])
+            e[2] = max(e[2], b[2])
+            e[3] = max(e[3], b[3])
+    for c in new_cells:
+        if counts[c["cell_id"]] > 1:
+            c["bbox"] = list(env[c["cell_id"]])
+
+    # dedupe keeping the LAST occurrence of each identical dict (reference
+    # :572-576). Post-envelope, all entries sharing a cell_id are identical
+    # dicts (same source cell, same rewritten bbox), so last-per-cell_id is
+    # an exact O(n) equivalent of the reference's quadratic membership scan.
+    seen: set[int] = set()
+    out_rev = []
+    for c in reversed(new_cells):
+        if c["cell_id"] not in seen:
+            seen.add(c["cell_id"])
+            out_rev.append(c)
+    return out_rev[::-1]
 
 
 def merge_bboxes(b1, b2):
