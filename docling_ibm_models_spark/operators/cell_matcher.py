@@ -198,6 +198,32 @@ def normalize_pdf_cells(tokens):
     return out
 
 
+def match_cells_dummy(iocr_page, table_bbox, prediction, iou_thres=0.05):
+    """No-matching variant (reference match_cells_dummy,
+    tf_cell_matcher.py:177-234): build cells + translate bboxes, matches
+    stay empty. NB the reference's dummy path lowers token bboxes without
+    the isinstance check — tokens must be dict-bbox form."""
+    pdf_cells = [
+        {**dict(tok), "bbox": [tok["bbox"]["l"], tok["bbox"]["t"], tok["bbox"]["r"], tok["bbox"]["b"]]}
+        for tok in iocr_page["tokens"]
+    ]
+    bboxes_page = translate_bboxes(table_bbox, prediction["bboxes"])
+    table_cells = build_table_cells(
+        prediction["html_seq"], prediction["rs_seq"], bboxes_page, prediction["classes"]
+    )
+    return {
+        "iou_threshold": iou_thres,
+        "table_bbox": table_bbox,
+        "prediction_bboxes_page": bboxes_page,
+        "prediction": prediction,
+        "pdf_cells": pdf_cells,
+        "page_height": iocr_page["height"],
+        "page_width": iocr_page["width"],
+        "table_cells": table_cells,
+        "matches": {},
+    }
+
+
 def match_cells(iocr_page, table_bbox, prediction, iou_thres=0.05):
     """Full J2 orchestration (tf_cell_matcher.py:110-175): normalize
     tokens, translate predicted bboxes to page coords, build grid cells,

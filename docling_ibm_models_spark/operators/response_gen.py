@@ -21,6 +21,34 @@ from __future__ import annotations
 import numpy as np
 
 
+def resize_plan(h: int, w: int, width: int | None = None, height: int | None = None):
+    """P3 — the semantic half of the reference's ``resize_img``
+    (tf_predictor.py:427-455): target dimensions + scale factor. The pixel
+    resample itself is cv2.INTER_AREA (stubbed elsewhere — no cv2 here);
+    the scale factor is what propagates into table-bbox scaling and the
+    crop rounding in multi_table_predict (:469-481)."""
+    if width is None and height is None:
+        return None, 1.0
+    if width is None:
+        r = height / float(h)
+        return (int(w * r), height), r
+    r = width / float(w)
+    return (width, int(h * r)), r
+
+
+def scale_table_bbox(table_bbox, scale_factor):
+    """multi_table_predict's bbox downscale + crop-slice rounding
+    (tf_predictor.py:471-481): returns (scaled_bbox, crop_slices)."""
+    scaled = [c * scale_factor for c in table_bbox]
+    crops = (
+        round(scaled[1]),
+        round(scaled[3]),
+        round(scaled[0]),
+        round(scaled[2]),
+    )
+    return scaled, crops
+
+
 def delete_bboxes_at(bboxes, indexes):
     """Drop bboxes at the given positions (reference _deletebbox)."""
     return [b for i, b in enumerate(bboxes) if i not in indexes]
@@ -170,6 +198,35 @@ def generate_tf_response(table_cells, matches):
         l_labels = list(labels)
         cell["label"] = l_labels[0] if l_labels else "None"
         out.append(cell)
+    return out
+
+
+def generate_tf_response_dummy(table_cells):
+    """J5 dummy variant — no matching: propagate predicted cell bboxes
+    directly (reference _generate_tf_response_dummy, tf_predictor.py:838-889;
+    used by predict_dummy / do_matching=False)."""
+    out = []
+    for t in table_cells:
+        cs = t.get("colspan_val", 1)
+        rs = t.get("rowspan_val", 1)
+        b = t["bbox"]
+        out.append(
+            {
+                "cell_id": t["cell_id"],
+                "bbox": {"b": b[3], "l": b[0], "r": b[2], "t": b[1], "token": ""},
+                "row_span": rs,
+                "col_span": cs,
+                "start_row_offset_idx": t["row_id"],
+                "end_row_offset_idx": t["row_id"] + rs,
+                "start_col_offset_idx": t["column_id"],
+                "end_col_offset_idx": t["column_id"] + cs,
+                "indentation_level": 0,
+                "text_cell_bboxes": [],
+                "column_header": t["label"] == "ched",
+                "row_header": t["label"] == "rhed",
+                "row_section": t["label"] == "srow",
+            }
+        )
     return out
 
 

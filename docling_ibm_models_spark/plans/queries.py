@@ -570,6 +570,16 @@ def dedup_ngram_jaccard(spark, sf_dir):
     sh = _shingles_spark(docs)
     ex = sh.select("doc_id", F.explode("shingles").alias("s"))
     sizes = sh.select("doc_id", F.size("shingles").alias("n"))
+    # frequency prune: a shingle in exactly one doc cannot contribute to
+    # any pair — drop it before the self-join (output-equivalent; cuts the
+    # join input by the unique-shingle mass, which dominates real corpora)
+    shared = (
+        ex.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > 1)
+        .select("s")
+    )
+    ex = ex.join(shared, "s")
     a, b = ex.alias("a"), ex.alias("b")
     inter = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
