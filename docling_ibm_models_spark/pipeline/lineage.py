@@ -76,6 +76,33 @@ def list_file_groups(
     return groups
 
 
+def _check_snapshot_manifest(
+    spark: SparkSession, out_dir: str, snapshot_id: int, groups: list[list[str]]
+) -> None:
+    """Snapshot pinning safety (the ``VERSION AS OF`` analogue): a
+    snapshot_id is a claim that the input file set is frozen. Record its
+    fingerprint on first run; refuse to resume if the file set drifted
+    under the same snapshot_id (resuming would silently mix inputs)."""
+    fingerprint = zlib.crc32("\n".join(f for g in groups for f in g).encode())
+    path = f"{out_dir}/_manifest"
+    try:
+        prev = {
+            r.snapshot_id: r.fingerprint for r in spark.read.parquet(path).collect()
+        }
+    except Exception:
+        prev = {}
+    if snapshot_id in prev:
+        if prev[snapshot_id] != fingerprint:
+            raise ValueError(
+                f"input file set drifted under pinned snapshot {snapshot_id}: "
+                "refusing to resume (use a new snapshot_id for new input)"
+            )
+        return
+    spark.createDataFrame(
+        [(snapshot_id, fingerprint)], "snapshot_id long, fingerprint long"
+    ).write.mode("append").parquet(path)
+
+
 def committed_partitions(spark: SparkSession, out_dir: str, snapshot_id: int) -> set[int]:
     try:
         lin = spark.read.parquet(f"{out_dir}/lineage")
@@ -109,6 +136,7 @@ def run_extraction(
     """
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     groups = list_file_groups(spark, pages_path, num_partitions)
+    _check_snapshot_manifest(spark, out_dir, snapshot_id, groups)
     num_groups = len(groups)
     chunk_partitions = chunk_partitions or num_groups
     done = committed_partitions(spark, out_dir, snapshot_id)

@@ -120,3 +120,23 @@ def test_idempotent_rerun_partition_overwrite(spark, tmp_path):
     # overwrite replaces, not appends
     run_extraction(spark, pages_path, out_dir, snap + 1, num_partitions=4)
     assert spark.read.parquet(f"{out_dir}/doc_text").count() == 500
+
+
+def test_snapshot_drift_guard(spark, tmp_path):
+    """Resuming a pinned snapshot after the input file set changed must
+    refuse loudly instead of silently mixing inputs."""
+    import pytest as _pytest
+
+    out_dir = str(tmp_path / "out3")
+    pages_path = str(tmp_path / "pages3")
+    pages = pages_from_documents(spark, SF_SMALL, parallelism=4)
+    pages.limit(100).write.parquet(pages_path)
+    snap = snapshot_id_for("drift")
+    run_extraction(spark, pages_path, out_dir, snap, num_partitions=4,
+                   chunk_partitions=2, max_chunks=1)
+    # input drifts under the same snapshot id
+    pages.limit(50).write.mode("append").parquet(pages_path)
+    with _pytest.raises(ValueError, match="drifted"):
+        run_extraction(spark, pages_path, out_dir, snap, num_partitions=4)
+    # a fresh snapshot id over the new file set is fine
+    run_extraction(spark, pages_path, out_dir, snap + 7, num_partitions=4)
