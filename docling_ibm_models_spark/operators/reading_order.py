@@ -9,11 +9,14 @@ per-page header/body/footer partition (:89-95), "just-above" dominance DAG
 caption linking (:492-608), footnote linking (:610-633) and hyphenation
 merges (:170-211). The reference is not importable here (docling_core not
 installed), so geometry predicates follow the public docling-core
-BoundingBox semantics (bottom-left origin, eps=1e-3) and correctness is
-established behaviorally per the reference's own test protocol
-(tests/test_reading_order.py: Spearman ≥ 0.9 per page on shuffled
-synthetic layouts, caption/footnote link accuracy — mirrors
-/root/reference/tests/test_reading_order.py:142-151,244-246).
+BoundingBox semantics (bottom-left origin, eps=1e-3). Correctness is
+established two ways (tests/test_reading_order.py): behaviorally per the
+reference's own protocol (Spearman ≥ 0.9 per page on shuffled synthetic
+layouts, caption/footnote link accuracy — mirrors
+/root/reference/tests/test_reading_order.py:142-151,244-246), and by TRUE
+parity against the reference module imported with a faked docling_core
+sharing this geometry vocabulary — order, caption links, footnote links
+and merges all match exactly on randomized layouts.
 
 Notes on reference quirks mirrored here:
 * ``l2r_map`` is permanently disabled (guard ``False`` at :302) — kept
@@ -33,7 +36,7 @@ from __future__ import annotations
 
 import copy
 import re
-from dataclasses import dataclass, replace
+from dataclasses import dataclass
 
 EPS = 1.0e-3
 
@@ -114,8 +117,14 @@ def _just_above_dag(elems: list[Element]):
 
 
 def _dilate_horizontally(elems: list[Element], up, dn) -> list[Element]:
-    """Widen each element toward its first up/dn neighbor when that does not
-    create overlaps (reference _do_horizontal_dilation :362-403)."""
+    """Widen each element toward its first up/dn neighbor (reference
+    _do_horizontal_dilation :362-403).
+
+    Reference quirk mirrored: the widened ``l/r`` are assigned to the
+    dilated element BEFORE the overlap test (:384-385), and the guarded
+    branch (:397-401) only re-assigns the same values plus the unchanged
+    ``b/t`` — so the dilation is effectively unconditional; the overlap
+    check gates nothing observable."""
     dilated = copy.deepcopy(elems)
     for i, d in enumerate(dilated):
         x0, x1 = d.l, d.r
@@ -125,13 +134,7 @@ def _dilate_horizontally(elems: list[Element], up, dn) -> list[Element]:
         if dn.get(i):
             x0 = min(x0, elems[dn[i][0]].l)
             x1 = max(x1, elems[dn[i][0]].r)
-        probe = replace(d, l=x0, r=x1)
-        # note: like the reference (:384-394), the overlap test runs against
-        # the ORIGINAL elements with the probe already widened
         d.l, d.r = x0, x1
-        if any(j != i and e.overlaps(probe) for j, e in enumerate(elems)):
-            # revert — keep original box
-            d.l, d.r = elems[i].l, elems[i].r
     return dilated
 
 

@@ -113,3 +113,85 @@ def test_hyphenation_merges():
     ]
     merges = predict_merges(elems)
     assert merges == {0: [1]}
+
+
+# ---------------------------------------------------------------------------
+# TRUE parity vs the reference ReadingOrderPredictor (docling_core faked
+# with the shared geometry vocabulary — validates the 300-line graph
+# algorithm: DAG build, dilation, head sort, DFS, caption/footnote passes)
+# ---------------------------------------------------------------------------
+
+def _ref_module():
+    import sys
+
+    from .fake_docling_core import DocItemLabel, RefItem, Size, install
+
+    install()
+    sys.path.insert(0, "/root/reference")
+    import docling_ibm_models.reading_order.reading_order_rb as ro
+
+    return ro, DocItemLabel, Size
+
+
+def _to_ref_elems(elems):
+    ro, DocItemLabel, Size = _ref_module()
+    out = []
+    for e in elems:
+        out.append(
+            ro.PageElement(
+                cid=e.cid, text=e.text, page_no=e.page_no,
+                page_size=Size(width=e.page_width, height=e.page_height),
+                label=DocItemLabel(e.label), l=e.l, r=e.r, t=e.t, b=e.b,
+            )
+        )
+    return out
+
+
+def test_reference_reading_order_parity():
+    ro, _, _ = _ref_module()
+    pred = ro.ReadingOrderPredictor()
+    for seed in range(25):
+        truth = synth_page_elements(seed)
+        shuf = shuffled(truth, seed * 31 + 7)
+        ref_sorted = pred.predict_reading_order(_to_ref_elems(shuf))
+        got = predict_reading_order(list(shuf))
+        assert [e.cid for e in got] == [e.cid for e in ref_sorted], f"seed {seed}"
+
+
+def test_reference_caption_footnote_parity():
+    ro, _, _ = _ref_module()
+    pred = ro.ReadingOrderPredictor()
+    for seed in range(25):
+        truth = synth_page_elements(seed)
+        shuf = shuffled(truth, seed * 11 + 3)
+        ref_sorted = pred.predict_reading_order(_to_ref_elems(shuf))
+        got = predict_reading_order(list(shuf))
+        ref_caps = pred.predict_to_captions(ref_sorted)
+        got_caps = find_to_captions(got)
+        assert got_caps == ref_caps, f"captions seed {seed}"
+        ref_fn = pred.predict_to_footnotes(ref_sorted)
+        got_fn = find_to_footnotes(got)
+        assert got_fn == ref_fn, f"footnotes seed {seed}"
+
+
+def test_reference_merges_parity():
+    ro, DocItemLabel, Size = _ref_module()
+    pred = ro.ReadingOrderPredictor()
+    import random as _random
+
+    rng = _random.Random(5)
+    texts = ["ends with hyphen-", "a continuation text", "Normal Sentence.",
+             "lower start tail,", "x" * 30, "another lower case run"]
+    for _ in range(20):
+        elems = []
+        y = 700.0
+        for i in range(rng.randint(2, 6)):
+            elems.append(
+                Element(cid=i, text=rng.choice(texts), label=TEXT,
+                        l=50, r=290, t=y, b=y - 20, page_no=0,
+                        page_width=612, page_height=792)
+            )
+            y -= 30
+        ref = pred.predict_merges(_to_ref_elems(elems))
+        got = predict_merges(list(elems))
+        assert got == ref
