@@ -1379,3 +1379,109 @@ def pipeline_table_profile(spark, sf_dir):
         )
         .orderBy("section")
     )
+
+
+# ===========================================================================
+# 8. IVF approximate-nearest-neighbor (scale path #2, besides LSH buckets)
+# ===========================================================================
+
+def _ivf_centroids(k: int = 8, dim: int = 64) -> list[list[float]]:
+    """Deterministic 'trained' centroids, inlined identically into the
+    Spark program and the DuckDB oracle (a k-means step is just a grouped
+    mean away; fixed centroids keep the oracle exact)."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    return [[float(x) for x in np.round(rng.standard_normal(dim), 4)] for _ in range(k)]
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=(lambda cents: f"""
+    WITH centroids AS (
+      SELECT * FROM (VALUES
+        { ", ".join(f"({i}, {c}::DOUBLE[])" for i, c in enumerate(cents)) }
+      ) AS t(cid, cv)
+    ),
+    assign AS (
+      SELECT vec_id, label, embedding, cid FROM (
+        SELECT e.vec_id, e.label, e.embedding, c.cid,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_dot_product(e.embedding::DOUBLE[], c.cv)
+                          * -2 + list_dot_product(c.cv, c.cv), c.cid
+               ) AS rn
+        FROM embeddings e CROSS JOIN centroids c
+      ) WHERE rn = 1
+    ),
+    q AS (SELECT embedding AS qv, cid AS qcid FROM assign WHERE vec_id = 0),
+    probe AS (
+      SELECT c.cid FROM centroids c CROSS JOIN q
+      ORDER BY list_dot_product(q.qv::DOUBLE[], c.cv) * -2
+               + list_dot_product(c.cv, c.cv), c.cid
+      LIMIT 2
+    )
+    SELECT a.vec_id, a.label, a.cid AS ivf_cell,
+           round({_cos_sql("a.embedding", "q.qv")}, 4) AS cosine
+    FROM assign a CROSS JOIN q
+    WHERE a.cid IN (SELECT cid FROM probe) AND a.vec_id <> 0
+    ORDER BY cosine DESC, vec_id
+    LIMIT 10
+    """)(_ivf_centroids()),
+)
+def ann_ivf_topk(spark, sf_dir):
+    """IVF-style ANN: assign every vector to its nearest fixed centroid
+    (inverted lists), probe the query's 2 nearest cells only, exact cosine
+    within the probed candidates. At scale the assignment is one narrow
+    pass and the probe prunes the candidate set by ~k/nprobe; the
+    brute-force twin is ann_cosine_topk."""
+    cents = _ivf_centroids()
+    centroids = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)], "cid int, cv array<double>"
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda p, q: p * q),
+            F.lit(0.0).cast("double"),
+            lambda acc, v: acc + v,
+        )
+
+    # nearest centroid by  -2·<e,c> + <c,c>  (the ||e||² term is constant
+    # per vector and cancels in the argmin) — same expression as the oracle
+    score = dot(dbl, F.col("cv")) * -2 + dot(F.col("cv"), F.col("cv"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy(score.asc(), F.col("cid").asc())
+    assign = (
+        emb.crossJoin(F.broadcast(centroids))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "label", "embedding", "cid")
+    )
+    q = assign.where(F.col("vec_id") == 0).select(
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("qv")
+    )
+    qscore = dot(F.col("qv"), F.col("cv")) * -2 + dot(F.col("cv"), F.col("cv"))
+    probe = (
+        centroids.crossJoin(F.broadcast(q))
+        .orderBy(qscore.asc(), F.col("cid").asc())
+        .limit(2)
+        .select("cid")
+    )
+    dbl_a = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return (
+        assign.join(F.broadcast(probe), "cid")
+        .where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            F.col("cid").alias("ivf_cell"),
+            F.round(_cos_spark(dbl_a, F.col("qv")), 4).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(10)
+    )
