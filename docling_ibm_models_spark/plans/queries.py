@@ -243,7 +243,7 @@ def supplier_part_volume(spark, sf_dir):
     WITH marked AS (
       SELECT user_id, event_id, ts,
              CASE WHEN lag(ts) OVER w IS NULL
-                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
                   THEN 1 ELSE 0 END AS new_session
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -254,7 +254,7 @@ def supplier_part_volume(spark, sf_dir):
                                     ROWS UNBOUNDED PRECEDING) AS session_no
       FROM marked
     )
-    SELECT user_id, session_no,
+    SELECT user_id, session_no::BIGINT AS session_no,
            count(*) AS n_events,
            strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start
     FROM sess
@@ -269,11 +269,14 @@ def events_sessionize(spark, sf_dir):
 
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    epoch = F.col("ts").cast("timestamp").cast("long")  # NTZ -> ts -> seconds
+    # Microsecond precision: events.ts is timestamp[us] with fractional
+    # seconds; cast("long") would truncate and disagree with DuckDB's
+    # epoch_us() on gaps in (1800, 1801) s (round-1 hash failure).
+    epoch = F.unix_micros(F.col("ts").cast("timestamp"))  # NTZ -> ts -> µs
     gap = epoch - F.lag(epoch).over(w)
     marked = ev.withColumn(
         "new_session",
-        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0),
+        F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0),
     )
     sess = marked.withColumn(
         "session_no",
@@ -527,25 +530,53 @@ _SHINGLES_SQL = """
 """
 
 
+def _shingles3_py(text):
+    # Arrow-vectorized 3-gram shingling. The pure-Catalyst formulation
+    # (transform(sequence(...), i -> concat_ws(element_at×3)) + array_distinct)
+    # is interpreted, not codegen'd (higher-order functions), and measured
+    # ~2 ms/row here — 20× slower than this batch UDF for identical output.
+    # str.split() == trim + \s+ split for the ASCII corpus (and the oracle's
+    # regexp_split_to_array('\s+')).
+    import pandas as pd
+
+    out = []
+    for t in text:
+        ws = t.strip().lower().split()
+        if len(ws) < 3:
+            out.append(None)
+            continue
+        seen: set = set()
+        res: list = []
+        for i in range(len(ws) - 2):
+            s = ws[i] + " " + ws[i + 1] + " " + ws[i + 2]
+            if s not in seen:
+                seen.add(s)
+                res.append(s)
+        out.append(res)
+    return pd.Series(out)
+
+
 def _shingles_spark(docs):
-    ws = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
-    sh = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(ws) - 2, F.lit(1))),
-        lambda i: F.concat_ws(
-            " ", F.element_at(ws, i), F.element_at(ws, i + 1), F.element_at(ws, i + 2)
-        ),
+    # pandas_udf construction needs an active SparkSession -> build lazily
+    udf = F.pandas_udf(_shingles3_py, "array<string>")
+    return docs.select("doc_id", udf("text").alias("shingles")).where(
+        F.col("shingles").isNotNull()
     )
-    return (
-        docs.where(F.size(ws) >= 3)
-        .select("doc_id", F.array_distinct(sh).alias("shingles"))
-    )
+
+
+NGRAM_DF_CAP = 100  # stop-phrase cap; mirrored in the oracle SQL below
 
 
 @register(
     "dedup_ngram_jaccard",
     oracle=f"""
     WITH sh AS ({_SHINGLES_SQL}),
-    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    ex0 AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    kept AS (
+      SELECT s FROM ex0 GROUP BY s
+      HAVING count(*) > 1 AND count(*) <= {NGRAM_DF_CAP}
+    ),
+    ex AS (SELECT doc_id, s FROM ex0 JOIN kept USING (s)),
     sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
     inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
@@ -564,19 +595,22 @@ def _shingles_spark(docs):
 def dedup_ngram_jaccard(spark, sf_dir):
     """3-gram shingle Jaccard near-dup pairs: explode shingles → equi-join
     on shingle (the LSH-free exact variant) → per-pair intersection count →
-    Jaccard via inclusion-exclusion. The shingle join is the only wide op;
-    shingle key is low-cardinality-skew-safe (text n-grams)."""
+    Jaccard via inclusion-exclusion. The shingle join is the only wide op.
+
+    Document-frequency band prune (df in (1, NGRAM_DF_CAP]) on BOTH engines:
+    df=1 shingles cannot form a pair (output-equivalent prune), and
+    df > cap shingles are stop-phrases whose self-join blow-up is Σdf²
+    (quadratic — the round-1 scale-killer); capping them is the standard
+    near-dup practice (cf. CCNet/SlimPajama) and is mirrored exactly in the
+    oracle, so results stay comparable."""
     docs = _t(spark, sf_dir, "documents")
     sh = _shingles_spark(docs)
     ex = sh.select("doc_id", F.explode("shingles").alias("s"))
     sizes = sh.select("doc_id", F.size("shingles").alias("n"))
-    # frequency prune: a shingle in exactly one doc cannot contribute to
-    # any pair — drop it before the self-join (output-equivalent; cuts the
-    # join input by the unique-shingle mass, which dominates real corpora)
     shared = (
         ex.groupBy("s")
         .agg(F.count(F.lit(1)).alias("df"))
-        .where(F.col("df") > 1)
+        .where((F.col("df") > 1) & (F.col("df") <= NGRAM_DF_CAP))
         .select("s")
     )
     ex = ex.join(shared, "s")
@@ -606,9 +640,7 @@ _MINHASH_K = 8
 _BAND_ROWS = 2  # 4 bands × 2 rows
 
 
-@register(
-    "dedup_minhash_lsh",
-    oracle=f"""
+_MINHASH_LSH_ORACLE = f"""
     WITH sh AS ({_SHINGLES_SQL}),
     ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
     hashes AS (
@@ -625,40 +657,48 @@ _BAND_ROWS = 2  # 4 bands × 2 rows
     FROM bands a JOIN bands b
       ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
     ORDER BY doc_a, doc_b
-    """,
-)
-def dedup_minhash_lsh(spark, sf_dir):
-    """MinHash + LSH banding: shingle → k minhashes (common md5-based hash
-    family, identical in the oracle) → band buckets → bucket equi-join →
-    candidate pairs. The scale path for near-dup at 10^12 docs: cost is
-    O(docs × k) + a join on band buckets instead of O(n²)."""
+    """
+
+
+def _minhash_bands(spark, sf_dir):
+    """doc_id → (band, bucket) rows: ONE groupBy(doc_id) computing all k
+    minhashes as k parallel min() aggregate columns over the exploded
+    shingle table (round 1 multiplied the shingle table ×k via crossJoin —
+    k× the shuffle volume for the identical result), then k/_BAND_ROWS
+    bucket strings assembled as array expressions and exploded (narrow)."""
     docs = _t(spark, sf_dir, "documents")
     ex = _shingles_spark(docs).select("doc_id", F.explode("shingles").alias("s"))
-    ks = spark.range(_MINHASH_K).select(F.col("id").cast("int").alias("k"))
-    hashes = (
-        ex.crossJoin(F.broadcast(ks))
-        .groupBy("doc_id", "k")
-        .agg(
+    hashes = ex.groupBy("doc_id").agg(
+        *[
             F.min(
-                _h32_spark(F.concat(F.col("k").cast("string"), F.lit(":"), F.col("s")))
-            ).alias("minh")
-        )
+                _h32_spark(F.concat(F.lit(f"{k}:"), F.col("s")))
+            ).alias(f"m{k}")
+            for k in range(_MINHASH_K)
+        ]
     )
-    bands = (
-        hashes.withColumn("band", (F.col("k") / _BAND_ROWS).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.concat_ws(
-                ",",
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct(F.col("k"), F.col("minh")))
-                    ),
-                    lambda x: x["minh"].cast("string"),
-                ),
-            ).alias("bucket")
-        )
+    n_bands = _MINHASH_K // _BAND_ROWS
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(band).cast("int").alias("band"),
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"m{band * _BAND_ROWS + r}").cast("string")
+                        for r in range(_BAND_ROWS)
+                    ],
+                ).alias("bucket"),
+            )
+            for band in range(n_bands)
+        ]
     )
+    return hashes.select(
+        "doc_id", F.explode(band_structs).alias("bb")
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
+def _lsh_candidates(spark, sf_dir):
+    bands = _minhash_bands(spark, sf_dir)
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -669,6 +709,76 @@ def dedup_minhash_lsh(spark, sf_dir):
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
+    )
+
+
+@register("dedup_minhash_lsh", oracle=_MINHASH_LSH_ORACLE)
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash + LSH banding: shingle → k minhashes (common md5-based hash
+    family, identical in the oracle) → band buckets → bucket equi-join →
+    candidate pairs. The scale path for near-dup at 10^12 docs: cost is
+    O(docs × k) + a hash-equi join on band buckets instead of O(n²)."""
+    return _lsh_candidates(spark, sf_dir).orderBy("doc_a", "doc_b")
+
+
+_VERIFY_JACCARD = 0.2
+
+
+@register(
+    "dedup_minhash_verified",
+    oracle=f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    hashes AS (
+      SELECT doc_id, k, min({_h32_sql("k::VARCHAR || ':' || s")}) AS minh
+      FROM ex CROSS JOIN (SELECT unnest(range(0, {_MINHASH_K})) AS k)
+      GROUP BY doc_id, k
+    ),
+    bands AS (
+      SELECT doc_id, (k // {_BAND_ROWS}) AS band,
+             string_agg(minh::VARCHAR, ',' ORDER BY k) AS bucket
+      FROM hashes GROUP BY doc_id, (k // {_BAND_ROWS})
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    scored AS (
+      SELECT doc_a, doc_b,
+             len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+               / (len(sa.shingles) + len(sb.shingles)
+                  - len(list_intersect(sa.shingles, sb.shingles))) AS j
+      FROM cand
+      JOIN sh sa ON sa.doc_id = doc_a
+      JOIN sh sb ON sb.doc_id = doc_b
+    )
+    SELECT doc_a, doc_b, round(j, 4) AS jaccard
+    FROM scored WHERE j >= {_VERIFY_JACCARD}
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_minhash_verified(spark, sf_dir):
+    """The production near-dup pipeline tail: LSH candidate pairs verified
+    with EXACT Jaccard over the full shingle sets. Only candidates pay the
+    set-intersection cost, so at 10^12 docs this is O(candidates), not
+    O(n²); the intersection itself is a narrow array_intersect on the two
+    joined shingle arrays (no re-explode, no extra shuffle beyond the two
+    candidate→shingle-set hash joins)."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = _shingles_spark(docs)
+    cand = _lsh_candidates(spark, sf_dir)
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    jac = inter.cast("double") / (
+        F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(jac >= _VERIFY_JACCARD)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
         .orderBy("doc_a", "doc_b")
     )
 

@@ -3,13 +3,23 @@
 operators" item).
 
 Per user_id, events are folded into sessions separated by >30-minute gaps.
-State = (current session ordinal, last event time, running count). Closed
-sessions are emitted as rows; the still-open session stays in the state
-store and closes when a later micro-batch brings a gap-exceeding event
-(long-running streams) — with a bounded AvailableNow drain it simply never
-emits, which the test asserts explicitly. The
-batch twin is the oracle-checked ``events_sessionize`` query
-(plans/queries.py), and the test drives both paths on the same input.
+State = (current session ordinal, last event time, running count), all event
+times at MICROSECOND precision, matching the batch twin
+(``events_sessionize`` in plans/queries.py) and the DuckDB oracle's
+``epoch_us`` semantics exactly.
+
+Closed sessions are emitted as rows. Open sessions flush through a real
+**event-time timeout**: the stream carries a watermark, each group arms
+``setTimeoutTimestamp(last_ts + gap)``, and once the watermark passes that
+point Spark fires ``hasTimedOut`` and the session emits. This is the correct
+streaming semantics — a session within 30 minutes of the stream frontier is
+genuinely still open. Under a bounded AvailableNow drain the frontier stops
+at the max event time, so the tail sessions flush only if the drain ends
+with a watermark-advancing fence (the test appends one); a long-running
+stream flushes them naturally as the watermark advances.
+
+(Round-1 note: ProcessingTimeTimeout hung under availableNow in this
+environment; EventTimeTimeout does not.)
 """
 
 from __future__ import annotations
@@ -25,10 +35,9 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
-    TimestampType,
 )
 
-GAP_S = 1800
+GAP_US = 1800 * 1_000_000  # 30 min in microseconds (batch twin: gap > 1800s)
 
 OUTPUT = StructType(
     [
@@ -42,41 +51,46 @@ OUTPUT = StructType(
 STATE = StructType(
     [
         StructField("session_no", LongType(), False),
-        StructField("last_ts", LongType(), False),
-        StructField("start_ts", LongType(), False),
+        StructField("last_ts", LongType(), False),  # µs epoch
+        StructField("start_ts", LongType(), False),  # µs epoch
         StructField("n_events", LongType(), False),
     ]
 )
 
 
-def _fmt(epoch_s: int) -> str:
+def _fmt(epoch_us: int) -> str:
     import datetime as dt
 
-    return dt.datetime.fromtimestamp(epoch_s, dt.timezone.utc).strftime(
-        "%Y-%m-%d %H:%M:%S"
-    )
+    return dt.datetime.fromtimestamp(
+        epoch_us // 1_000_000, dt.timezone.utc
+    ).strftime("%Y-%m-%d %H:%M:%S")
+
+
+def _row(user_id, session_no, n, start_us):
+    return {
+        "user_id": user_id,
+        "session_no": session_no,
+        "n_events": n,
+        "session_start": _fmt(start_us),
+    }
 
 
 def _sessionize(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
     (user_id,) = key
     if state.hasTimedOut:
+        # Watermark passed last_ts + GAP: the open session is now closed by
+        # time, not by a successor event. Emit and clear.
         session_no, last_ts, start_ts, n = state.get
         state.remove()
-        yield pd.DataFrame(
-            [
-                {
-                    "user_id": user_id,
-                    "session_no": session_no,
-                    "n_events": n,
-                    "session_start": _fmt(start_ts),
-                }
-            ]
-        )
+        yield pd.DataFrame([_row(user_id, session_no, n, start_ts)])
         return
 
     ts_all = []
     for pdf in pdfs:
-        ts_all.extend(int(t.timestamp()) for t in pdf["ts"])
+        # pandas Timestamp .value is ns since epoch -> µs (exact; events.ts
+        # is timestamp[us]); int(t.timestamp()) would truncate fractional
+        # seconds and diverge from the batch twin on gaps in (1800, 1801)s.
+        ts_all.extend(int(t.value) // 1000 for t in pdf["ts"])
     ts_all.sort()
 
     if state.exists:
@@ -88,15 +102,8 @@ def _sessionize(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
     for t in ts_all:
         if last_ts is None:
             session_no, start_ts, n = 1, t, 1
-        elif t - last_ts > GAP_S:
-            closed.append(
-                {
-                    "user_id": user_id,
-                    "session_no": session_no,
-                    "n_events": n,
-                    "session_start": _fmt(start_ts),
-                }
-            )
+        elif t - last_ts > GAP_US:
+            closed.append(_row(user_id, session_no, n, start_ts))
             session_no += 1
             start_ts, n = t, 1
         else:
@@ -104,18 +111,30 @@ def _sessionize(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
         last_ts = t
 
     state.update((session_no, last_ts, start_ts, n))
+    # Arm the event-time timeout: fire when the watermark passes the gap
+    # horizon of the open session. Timestamps here are in MILLISECONDS (the
+    # GroupState API unit); +1 ms so "watermark == horizon" doesn't fire
+    # (batch closes only on strictly-greater gaps). Must stay above the
+    # current watermark or Spark rejects it.
+    horizon_ms = (last_ts + GAP_US) // 1000 + 1
+    wm_ms = state.getCurrentWatermarkMs()
+    state.setTimeoutTimestamp(max(horizon_ms, wm_ms + 1))
     if closed:
         yield pd.DataFrame(closed)
 
 
-def sessionize_stream(events_stream: DataFrame) -> DataFrame:
-    """event stream → closed sessions (open ones close on the next
-    gap-exceeding event; see module docstring)."""
+def sessionize_stream(
+    events_stream: DataFrame, watermark_delay: str = "0 seconds"
+) -> DataFrame:
+    """event stream → sessions; closed sessions emit immediately, open ones
+    emit when the event-time watermark passes their 30-minute gap horizon
+    (see module docstring)."""
     ev = events_stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    ev = ev.withWatermark("ts", watermark_delay)
     return ev.groupBy("user_id").applyInPandasWithState(
         _sessionize,
         outputStructType=OUTPUT,
         stateStructType=STATE,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
