@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import hashlib
 
+from docling_ibm_models_spark.models import decoder_semantics
 from docling_ibm_models_spark.operators import (
     cell_matcher as cm,
 )
@@ -35,22 +36,60 @@ class DeterministicTableFormer:
         self.grid_bias = int(weights.get("grid_bias", 0))
 
     def _decode_table(self, crop: bytes):
-        """DETERMINISTIC FAKE of M2-M6: crop bytes → (rs_seq, bboxes,
-        classes) — a plain rows×cols grid with an optional header row."""
+        """M2-M5 neural forward is a DETERMINISTIC FAKE (md5-seeded grid of
+        PROPOSED tags, sometimes with lcel spans / ucel / xcel proposals),
+        but everything the real decoder does deterministically around the
+        forward — in-loop grammar corrections, bbox-slot emission, the
+        span-merge registry, cxcywh→xyxy — is the REAL ported semantics
+        (models/decoder_semantics.py, reference-parity-tested against
+        tablemodel04_rs.py:167-319 in tests/test_decoder_semantics_parity.py).
+        """
         h = hashlib.md5(crop if crop else b"").digest()
         rows = 2 + (h[0] + self.grid_bias) % 4  # 2..5
         cols = 2 + h[1] % 4  # 2..5
         header = h[2] % 2 == 0
-        rs_seq: list[str] = []
-        bboxes: list[list[float]] = []
-        classes: list[int] = []
+        proposed: list[str] = []
         for r in range(rows):
-            for c in range(cols):
-                rs_seq.append("ched" if (r == 0 and header) else "fcel")
-                x1, y1 = c / cols, r / rows
-                bboxes.append([x1 + 0.01, y1 + 0.01, (c + 1) / cols - 0.01, (r + 1) / rows - 0.01])
-                classes.append(2)
-            rs_seq.append("nl")
+            c = 0
+            while c < cols:
+                if r == 0 and header:
+                    proposed.append("ched")
+                    c += 1
+                    continue
+                b = h[(3 + r * cols + c) % 16]
+                proposed.append("fcel")
+                c += 1
+                if b % 5 == 0 and c < cols:
+                    # propose a horizontal span; occasionally propose the
+                    # ungrammatical xcel, which the corrections rewrite
+                    span = 1 + b % 2
+                    for _ in range(span):
+                        if c >= cols:
+                            break
+                        proposed.append("xcel" if b % 10 == 0 else "lcel")
+                        c += 1
+            proposed.append("nl")
+        proposed.append("<end>")
+
+        res = decoder_semantics.decode_postfix(proposed)
+        rs_seq = [t for t in res.tags if t != "<end>"]
+        # deterministic per-slot cxcywh boxes + classes (the bbox decoder
+        # forward is the faked part), then the REAL span merge + conversion
+        coords = []
+        classes = []
+        for i in range(res.n_slots):
+            bi = h[(i * 3) % 16]
+            cx = 0.06 + 0.9 * ((i * 7 + bi) % 13) / 13.0
+            cy = 0.06 + 0.9 * ((i * 5 + bi // 2) % 11) / 11.0
+            coords.append([round(cx, 4), round(cy, 4), 0.08, 0.06])
+            classes.append(2)
+        classes, coords = decoder_semantics.merge_spans(
+            classes, coords, res.bboxes_to_merge
+        )
+        bboxes = [
+            [round(v, 6) for v in decoder_semantics.box_cxcywh_to_xyxy(b)]
+            for b in coords
+        ]
         return rs_seq, bboxes, classes
 
     def predict_table(

@@ -1,0 +1,225 @@
+"""Computing fake-torch harness: executes the REFERENCE TableModel04_rs
+``predict()`` loop (tablemodel04_rs.py:110-328) with prescribed per-step
+argmax proposals and prescribed bbox-decoder outputs, so the loop's
+deterministic semantics (grammar corrections, bbox-slot emission, span
+merge) run for real and can be parity-checked against
+docling_ibm_models_spark.models.decoder_semantics.
+
+The module-global ``torch`` inside tablemodel04_rs is swapped for the
+minimal namespace below; the neural submodules (_encoder, _tag_transformer,
+_bbox_decoder) are replaced with fakes that replay the prescribed streams.
+Only the ops the predict() source actually uses are implemented.
+"""
+
+from __future__ import annotations
+
+import types
+
+from . import ref_import
+
+WORD_MAP_TAG = {
+    "<pad>": 0,
+    "<unk>": 1,
+    "<start>": 2,
+    "<end>": 3,
+    "ecel": 4,
+    "fcel": 5,
+    "lcel": 6,
+    "ucel": 7,
+    "xcel": 8,
+    "nl": 9,
+    "ched": 10,
+    "rhed": 11,
+    "srow": 12,
+}
+ID_TO_TAG = {v: k for k, v in WORD_MAP_TAG.items()}
+
+
+class Blob:
+    """Stand-in for encoder tensors: every shape-op returns self."""
+
+    def permute(self, *a):
+        return self
+
+    def view(self, *a):
+        return self
+
+    def to(self, *a, **k):
+        return self
+
+    def size(self, *a):
+        return 1
+
+    @property
+    def shape(self):
+        return (1,)
+
+    def __eq__(self, other):  # torch.zeros(...) == torch.ones(...)
+        return Blob()
+
+    __hash__ = None
+
+
+class Vec:
+    def __init__(self, vals):
+        self.vals = list(vals)
+
+    def to(self, *a, **k):
+        return self
+
+    def unsqueeze(self, dim):
+        return Rows([[v] for v in self.vals])
+
+
+class Rows:
+    """decoded_tags: (steps, 1) int tensor."""
+
+    def __init__(self, rows):
+        self.rows = rows
+
+    def to(self, *a, **k):
+        return self
+
+    def squeeze(self):
+        flat = [r[0] for r in self.rows]
+        return Vec(flat) if len(flat) > 1 else _Scalar(flat[0])
+
+    def tolist(self):
+        return [r[0] for r in self.rows]
+
+
+class _Scalar:
+    def __init__(self, v):
+        self.v = v
+
+    def tolist(self):
+        return self.v
+
+
+Vec.tolist = lambda self: list(self.vals)
+
+
+class StepMark:
+    """decoded[-1, :, :] — identifies the decode step for _fc."""
+
+    def __init__(self, step):
+        self.step = step
+
+
+class Decoded:
+    def __init__(self, step):
+        self.step = step
+
+    def __getitem__(self, idx):
+        return StepMark(self.step)
+
+
+class Logits:
+    def __init__(self, tag_id):
+        self.tag_id = tag_id
+
+    def argmax(self, dim):
+        return self
+
+    def item(self):
+        return self.tag_id
+
+
+class BB(list):
+    """bbox coord/class rows: list with .to()."""
+
+    def to(self, *a, **k):
+        return self
+
+
+class FakeSeq(list):
+    def to(self, *a, **k):
+        return self
+
+
+def _fake_torch():
+    t = types.SimpleNamespace()
+    t.LongTensor = lambda vals: Vec(vals)
+    t.cat = lambda parts, dim=0: Rows(
+        [r for p in parts for r in (p.rows if isinstance(p, Rows) else [[v] for v in p.vals])]
+    )
+    t.tensor = lambda vals, **k: BB(vals)
+    t.stack = lambda lst, **k: FakeSeq(lst)
+    t.empty = lambda n, **k: FakeSeq()
+    t.zeros = lambda *a, **k: Blob()
+    t.ones = lambda *a, **k: Blob()
+    return t
+
+
+class FakeTagTransformer:
+    def __init__(self, proposed_ids):
+        self._proposed = list(proposed_ids)
+        self._n_heads = 1
+        self._input_filter = lambda x: Blob()
+        self._encoder = lambda x, mask=None: Blob()
+        self._embedding = lambda dt: dt
+        self._positional_encoding = lambda x: x
+        self._fc = lambda mark: Logits(
+            self._proposed[mark.step]
+            if mark.step < len(self._proposed)
+            else WORD_MAP_TAG["<end>"]
+        )
+
+    def eval(self):
+        pass
+
+    def _decoder(self, emb, enc, cache, memory_key_padding_mask=None):
+        # emb is decoded_tags (Rows): rows = [<start>, out...] -> step index
+        return Decoded(len(emb.rows) - 1), cache
+
+
+class FakeBBoxDecoder:
+    """Returns prescribed per-slot (class, coord) streams; records how many
+    slots the loop actually emitted."""
+
+    def __init__(self, classes, coords):
+        self.classes = classes
+        self.coords = coords
+        self.received_slots = None
+
+    def inference(self, enc_out, tag_H_buf):
+        self.received_slots = len(tag_H_buf)
+        if len(tag_H_buf) > len(self.coords):
+            raise AssertionError(
+                f"loop emitted {len(tag_H_buf)} slots > {len(self.coords)} prescribed"
+            )
+        n = len(tag_H_buf)
+        return (
+            FakeSeq(BB([c]) for c in self.classes[:n]),
+            FakeSeq(BB(c) for c in self.coords[:n]),
+        )
+
+
+def run_reference_decode(proposed_tags, coords, classes, max_pred_len=512):
+    """Run the reference predict() with prescribed proposals/bboxes.
+
+    Returns (seq_tags_without_start, n_slots, merged_classes, merged_coords)
+    with plain-python types.
+    """
+    ref_import.install()
+    import docling_ibm_models.tableformer.models.table04_rs.tablemodel04_rs as tm
+
+    tm.torch = _fake_torch()
+    m = tm.TableModel04_rs.__new__(tm.TableModel04_rs)
+    m._device = "cpu"
+    m._prof = False
+    m._bbox = True
+    m._max_pred_len = max_pred_len
+    m._init_data = {"word_map": {"word_map_tag": WORD_MAP_TAG}}
+    m._encoder = lambda imgs: Blob()
+    m._tag_transformer = FakeTagTransformer(
+        [WORD_MAP_TAG[t] for t in proposed_tags]
+    )
+    bb = FakeBBoxDecoder(classes, coords)
+    m._bbox_decoder = bb
+
+    seq, out_cls, out_coord = m.predict(Blob(), max_steps=None, k=1)
+    tags = [ID_TO_TAG[i] for i in seq[1:]]  # drop <start>
+    merged_cls = [c[0] for c in out_cls]
+    merged_coord = [list(c) for c in out_coord]
+    return tags, bb.received_slots, merged_cls, merged_coord

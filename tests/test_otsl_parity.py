@@ -106,6 +106,56 @@ def test_html_to_otsl_parity(seed):
         assert ours.tags == ref["html"]["structure"]["tokens"], (toks, empties)
 
 
+@pytest.mark.parametrize("seed", range(200))
+def test_html_to_otsl_ref_tag_stream_parity(seed):
+    """FULL tag-stream parity (incl. 2D-span tables where the reference's
+    xcel cursor quirk corrupts the stream) via html_to_otsl_ref. When the
+    quirk trips the reference's :359 guard (ok=False), ours returns None;
+    when the reference raises IndexError mid-stream, ours must too."""
+    rng = random.Random(1_000_003 + seed)
+    toks, empties = random_grid_table(rng)
+    table = {
+        "split": "t",
+        "filename": "t",
+        "html": {
+            "structure": {"tokens": list(toks)},
+            "cells": [{"tokens": ([] if e else ["f"])} for e in empties],
+        },
+    }
+    try:
+        ok, ref = ref_otsl.html_to_otsl(table, None, False, False, True, False)
+    except IndexError:
+        with pytest.raises(IndexError):
+            otsl_ops.html_to_otsl_ref(toks, empties)
+        return
+    ours = otsl_ops.html_to_otsl_ref(toks, empties)
+    if not ok:
+        assert ours is None, (toks, empties)
+        return
+    assert ours is not None
+    assert ours.tags == ref["html"]["structure"]["tokens"], (toks, empties)
+    assert {k: v for k, v in ours.spans.items()} == ref["otsl_spans"]
+    assert ours.cols == ref["cols"]
+    assert ours.rows == ref["rows"]
+
+
+def test_quirk_divergence_pinned():
+    """Pin the exact effect of the reference's 2D-span cursor bug: the
+    random table at seed 1_000_075 emits a stream where rows AFTER a
+    colspan+rowspan cell read the wrong up-expand column (fcel/ucel
+    positions swap vs the true grid). html_to_otsl stays clean;
+    html_to_otsl_ref reproduces the corruption byte-for-byte (asserted vs
+    the live reference in test_html_to_otsl_ref_tag_stream_parity)."""
+    rng = random.Random(1_000_003 + 72)
+    toks, empties = random_grid_table(rng)
+    assert _has_2d_span(toks)
+    clean = otsl_ops.html_to_otsl(toks, empties).tags
+    quirk = otsl_ops.html_to_otsl_ref(toks, empties).tags
+    assert clean != quirk
+    # row 2 of the fixture: the 2D span's lagging cursor swaps fcel/ucel
+    assert clean[11:13] == ["ucel", "fcel"] and quirk[11:13] == ["fcel", "ucel"]
+
+
 @pytest.mark.parametrize("seed", range(40))
 def test_otsl_spans_inference_surface_parity(seed):
     """The inference path (tf_cell_matcher.py:264-269) feeds otsl_to_html
