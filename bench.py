@@ -46,16 +46,36 @@ def _spark(master: str, shuffle: int):
     return get_spark(app_name=f"bench-{master}", master=master, shuffle_partitions=shuffle)
 
 
-def materialize_pages(pages_path: str) -> int:
-    """Producer job: documents.parquet → pages parquet (not timed)."""
+def _pages_cache_dir() -> str:
+    """Cache key = (sf_dir, replicas, generator-source hash): regenerating
+    80k pages costs ~40 s/run and the input is a pure function of the key,
+    so cache across bench invocations (stabilizes inter-round comparability
+    too — same parquet files, same scan layout)."""
+    import hashlib
+
+    gen_src = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "docling_ibm_models_spark/sources/pages_source.py",
+    )
+    with open(gen_src, "rb") as f:
+        gen_hash = hashlib.md5(f.read()).hexdigest()[:12]
+    key = f"{SF_DIR.replace('/', '_')}-r{REPLICAS}-{gen_hash}"
+    return os.path.join(tempfile.gettempdir(), "bench_pages_cache", key)
+
+
+def materialize_pages() -> tuple[str, int]:
+    """Producer job: documents.parquet → pages parquet (not timed, cached)."""
+    cache = _pages_cache_dir()
+    pages_path = f"{cache}/pages"
     spark = _spark(f"local[{CPUS}]", CPUS)
     from docling_ibm_models_spark.sources.pages_source import pages_from_documents
 
-    pages = pages_from_documents(spark, SF_DIR, replicas=REPLICAS)
-    pages.write.mode("overwrite").parquet(pages_path)
+    if not os.path.exists(f"{pages_path}/_SUCCESS"):
+        pages = pages_from_documents(spark, SF_DIR, replicas=REPLICAS)
+        pages.write.mode("overwrite").parquet(pages_path)
     n = spark.read.parquet(pages_path).count()
     spark.stop()
-    return n
+    return pages_path, n
 
 
 def worker(master: str, pages_path: str, out_path: str, task_cpus: int = 1) -> dict:
@@ -163,9 +183,7 @@ def main() -> None:
         print(json.dumps(worker(sys.argv[2], sys.argv[3], sys.argv[4], tc)))
         return
 
-    tmp = tempfile.mkdtemp(prefix="bench_pages_")
-    pages_path = f"{tmp}/pages"
-    n_pages = materialize_pages(pages_path)
+    pages_path, n_pages = materialize_pages()
 
     # Scaling pair: N=2 vs 4N=8 cores — both far below this VM's
     # memory-bandwidth ceiling (~25-30k pages/s, hit around 16 procs), which

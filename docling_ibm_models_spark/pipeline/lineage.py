@@ -80,26 +80,42 @@ def _check_snapshot_manifest(
     spark: SparkSession, out_dir: str, snapshot_id: int, groups: list[list[str]]
 ) -> None:
     """Snapshot pinning safety (the ``VERSION AS OF`` analogue): a
-    snapshot_id is a claim that the input file set is frozen. Record its
-    fingerprint on first run; refuse to resume if the file set drifted
-    under the same snapshot_id (resuming would silently mix inputs)."""
-    fingerprint = zlib.crc32("\n".join(f for g in groups for f in g).encode())
+    snapshot_id is a claim that (input file set, group partitioning) is
+    frozen. Record the SORTED-file-list fingerprint plus the group count on
+    first run; refuse to resume if either drifted under the same
+    snapshot_id — a changed file set would silently mix inputs, a changed
+    ``num_groups`` would remap partition_ids onto different file groups
+    and corrupt the resume bookkeeping. The two failure modes get distinct
+    messages."""
+    files = sorted(f for g in groups for f in g)
+    fingerprint = zlib.crc32("\n".join(files).encode())
+    num_groups = len(groups)
     path = f"{out_dir}/_manifest"
     try:
         prev = {
-            r.snapshot_id: r.fingerprint for r in spark.read.parquet(path).collect()
+            r.snapshot_id: (r.fingerprint, r.num_groups)
+            for r in spark.read.parquet(path).collect()
         }
     except Exception:
         prev = {}
     if snapshot_id in prev:
-        if prev[snapshot_id] != fingerprint:
+        prev_fp, prev_ng = prev[snapshot_id]
+        if prev_fp != fingerprint:
             raise ValueError(
                 f"input file set drifted under pinned snapshot {snapshot_id}: "
                 "refusing to resume (use a new snapshot_id for new input)"
             )
+        if prev_ng != num_groups:
+            raise ValueError(
+                f"partitioning changed under pinned snapshot {snapshot_id}: "
+                f"{prev_ng} file groups at first run vs {num_groups} now — "
+                "resume with the original num_partitions/chunk size, or use "
+                "a new snapshot_id + output dir to re-partition"
+            )
         return
     spark.createDataFrame(
-        [(snapshot_id, fingerprint)], "snapshot_id long, fingerprint long"
+        [(snapshot_id, fingerprint, num_groups)],
+        "snapshot_id long, fingerprint long, num_groups int",
     ).write.mode("append").parquet(path)
 
 

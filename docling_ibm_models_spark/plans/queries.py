@@ -1344,10 +1344,19 @@ def extract_match(spark, sf_dir):
 #    kernels and grouped python UDFs, not expressible as DuckDB SQL)
 # ===========================================================================
 
-@register("pipeline_layout_clusters")
-def pipeline_layout_clusters(spark, sf_dir):
-    """pages → page_recs → layout stage (M1 stub behind the real serving
-    harness); returns exploded clusters."""
+def _signature(df, cols):
+    """Canonical 1-row signature of a deterministic stage output: row count
+    + md5 over the sorted '|'-joined string rows. A TEST construct — the
+    scale path is the raw stage; the collect_list here is bounded by the
+    query's own limit()."""
+    row_str = F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
+    return df.select(row_str.alias("r")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.md5(F.concat_ws("\n", F.sort_array(F.collect_list("r")))).alias("sig"),
+    )
+
+
+def _layout_clusters_df(spark, sf_dir):
     from docling_ibm_models_spark.models import harness
     from docling_ibm_models_spark.models.layout_stub import default_weights
     from docling_ibm_models_spark.pipeline.stages import (
@@ -1356,15 +1365,39 @@ def pipeline_layout_clusters(spark, sf_dir):
     )
     from docling_ibm_models_spark.sources.pages_source import pages_from_documents
 
-    pages = pages_from_documents(spark, sf_dir).limit(200)
+    pages = pages_from_documents(spark, sf_dir, max_doc_id=200)
     bc = harness.broadcast_weights(spark, default_weights())
-    return layout_stage(page_records_stage(pages), bc).orderBy("url", "l", "t")
+    return layout_stage(page_records_stage(pages), bc)
 
 
-@register("pipeline_table_cells")
-def pipeline_table_cells(spark, sf_dir):
-    """pages → page_recs → table-structure stage (stubbed decode feeding
-    the reference-parity chain); returns per-table summaries."""
+# Golden signatures pinned at sf0.01 (the driver's correctness SF); the
+# stub stages are deterministic functions of the input, so the pinned
+# value is a reproducibility/determinism gate. Regenerate after intended
+# stub changes with tools/regen_pipeline_sigs.py (rewrites this dict).
+_PINNED_SIGS = {
+    "pipeline_layout_clusters": (1103, "d5b36eae5d9454367e840d40e7798c55"),
+    "pipeline_table_cells": (104, "503a0ce07f878d10dab1003d257edee7"),
+}
+
+_SIG_ORACLE = "SELECT {n}::BIGINT AS n_rows, '{sig}' AS sig"
+
+
+@register(
+    "pipeline_layout_clusters",
+    oracle=_SIG_ORACLE.format(
+        n=_PINNED_SIGS["pipeline_layout_clusters"][0],
+        sig=_PINNED_SIGS["pipeline_layout_clusters"][1],
+    ),
+)
+def pipeline_layout_clusters(spark, sf_dir):
+    """pages → page_recs → layout stage (M1 stub behind the real serving
+    harness) → canonical signature of the exploded clusters (golden pinned
+    at sf0.01; determinism gate across runs and parallelism levels)."""
+    df = _layout_clusters_df(spark, sf_dir)
+    return _signature(df, sorted(df.columns))
+
+
+def _table_cells_df(spark, sf_dir):
     from docling_ibm_models_spark.models import harness
     from docling_ibm_models_spark.models.tableformer_stub import default_weights
     from docling_ibm_models_spark.pipeline.stages import (
@@ -1373,14 +1406,29 @@ def pipeline_table_cells(spark, sf_dir):
     )
     from docling_ibm_models_spark.sources.pages_source import pages_from_documents
 
-    pages = pages_from_documents(spark, sf_dir).limit(100)
+    pages = pages_from_documents(spark, sf_dir, max_doc_id=100)
     bc = harness.broadcast_weights(spark, default_weights())
     tables = table_structure_stage(page_records_stage(pages), bc)
     return tables.select(
         "url", "table_id", "num_rows", "num_cols",
         F.size("table_cells").alias("n_cells"),
         F.size("otsl_seq").alias("n_tags"),
-    ).orderBy("url", "table_id")
+    )
+
+
+@register(
+    "pipeline_table_cells",
+    oracle=_SIG_ORACLE.format(
+        n=_PINNED_SIGS["pipeline_table_cells"][0],
+        sig=_PINNED_SIGS["pipeline_table_cells"][1],
+    ),
+)
+def pipeline_table_cells(spark, sf_dir):
+    """pages → page_recs → table-structure stage (stubbed decode feeding
+    the reference-parity chain incl. the ported decoder semantics) →
+    canonical signature of per-table summaries (golden pinned at sf0.01)."""
+    df = _table_cells_df(spark, sf_dir)
+    return _signature(df, sorted(df.columns))
 
 
 @register("pipeline_reading_order")
@@ -1410,16 +1458,42 @@ def pipeline_reading_order(spark, sf_dir):
     ).orderBy("url", "reading_rank")
 
 
-@register("pipeline_media_meta")
+@register(
+    "pipeline_media_meta",
+    oracle="""
+    SELECT doc_id::VARCHAR AS url,
+           CASE WHEN text LIKE 'GIF87a%' THEN 'image/gif'
+                WHEN text LIKE 'GIF89a%' THEN 'image/gif'
+                WHEN text LIKE 'RIFF%' THEN 'audio/wav-or-avi'
+                WHEN text LIKE 'ID3%' THEN 'audio/mpeg'
+                WHEN position('%PDF' IN text) = 1 THEN 'application/pdf'
+                WHEN text LIKE '<!DOCTYPE%' THEN 'text/html'
+                WHEN text LIKE '<html%' THEN 'text/html'
+                ELSE 'application/octet-stream' END AS mime,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text) AS content_hash
+    FROM documents ORDER BY url
+    """,
+)
 def pipeline_media_meta(spark, sf_dir):
-    """Multimodal binary-column stage: MIME sniff + hash + stub features."""
+    """Multimodal binary-column stage (operators/multimodal.py
+    media_metadata_stage): opaque binary payload → MIME magic-byte sniff +
+    byte length + content hash, Arrow-batched via mapInPandas. Driven here
+    over documents.text re-encoded as the binary carrier so the SAME stage
+    code is fully DuckDB-oracle-checkable (the oracle mirrors the
+    ASCII-reachable magic prefixes in sniff precedence order; non-ASCII
+    magics like \\x89PNG cannot start valid UTF-8 text)."""
     from docling_ibm_models_spark.operators.multimodal import media_metadata_stage
-    from docling_ibm_models_spark.sources.pages_source import pages_from_documents
 
-    pages = pages_from_documents(spark, sf_dir).limit(200)
-    return media_metadata_stage(pages).select(
-        "url", "mime", "n_bytes", "content_hash"
-    ).orderBy("url")
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.encode("text", "utf-8").alias("html"),
+    )
+    return (
+        media_metadata_stage(docs)
+        .select("url", "mime", "n_bytes", "content_hash")
+        .orderBy("url")
+    )
 
 
 @register("pipeline_table_profile")
@@ -1479,7 +1553,7 @@ def pipeline_table_profile(spark, sf_dir):
         if rows:
             yield pd.DataFrame(rows)
 
-    recs = page_records_stage(pages_from_documents(spark, sf_dir).limit(100))
+    recs = page_records_stage(pages_from_documents(spark, sf_dir, max_doc_id=100))
     per_task = recs.mapInPandas(gen, schema=schema)
     return (
         per_task.groupBy("section")
@@ -1560,16 +1634,25 @@ def ann_ivf_topk(spark, sf_dir):
         )
 
     # nearest centroid by  -2·<e,c> + <c,c>  (the ||e||² term is constant
-    # per vector and cancels in the argmin) — same expression as the oracle
-    score = dot(dbl, F.col("cv")) * -2 + dot(F.col("cv"), F.col("cv"))
-    from pyspark.sql import Window
+    # per vector and cancels in the argmin). Round 1 computed this with a
+    # crossJoin×k + row_number window — a full shuffle on vec_id; this is
+    # the shuffle-free form: one Arrow batch matmul per partition
+    # ((n,d)·(d,k) then row-argmin; np.argmin's first-match tie-break ==
+    # the oracle's (score ASC, cid ASC)).
+    import numpy as np
+    import pandas as pd
 
-    w = Window.partitionBy("vec_id").orderBy(score.asc(), F.col("cid").asc())
-    assign = (
-        emb.crossJoin(F.broadcast(centroids))
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "label", "embedding", "cid")
+    cmat = np.array(cents, dtype=np.float64)  # (k, d)
+    cnorm = (cmat * cmat).sum(axis=1)  # <c,c>
+
+    def _assign_batch(emb_series):
+        e = np.stack([np.asarray(v, dtype=np.float64) for v in emb_series])
+        scores = -2.0 * (e @ cmat.T) + cnorm
+        return pd.Series(np.argmin(scores, axis=1).astype(np.int32))
+
+    assign_cid = F.pandas_udf(_assign_batch, "int")
+    assign = emb.select(
+        "vec_id", "label", "embedding", assign_cid("embedding").alias("cid")
     )
     q = assign.where(F.col("vec_id") == 0).select(
         F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("qv")

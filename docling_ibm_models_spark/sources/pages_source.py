@@ -157,7 +157,13 @@ def docs_batch_to_pages(pdf: pd.DataFrame, replicas: int = 1) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"])
 
 
-def pages_from_documents(spark, sf_dir: str, replicas: int = 1, parallelism: int | None = None):
+def pages_from_documents(
+    spark,
+    sf_dir: str,
+    replicas: int = 1,
+    parallelism: int | None = None,
+    max_doc_id: int | None = None,
+):
     """documents.parquet → pages DataFrame (input_hint shape), Arrow-batched.
 
     ``documents.parquet`` is a single small file, so without an explicit
@@ -169,7 +175,15 @@ def pages_from_documents(spark, sf_dir: str, replicas: int = 1, parallelism: int
     from docling_ibm_models_spark import schemas
 
     parallelism = parallelism or spark.sparkContext.defaultParallelism * 2
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(parallelism)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if max_doc_id is not None:
+        # deterministic, parallelism-independent subset (a post-generation
+        # limit() picks different rows at different partition counts) —
+        # pushed down to the parquet scan before the repartition
+        from pyspark.sql import functions as F
+
+        docs = docs.where(F.col("doc_id") < max_doc_id)
+    docs = docs.repartition(parallelism)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

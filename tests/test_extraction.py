@@ -140,3 +140,23 @@ def test_snapshot_drift_guard(spark, tmp_path):
         run_extraction(spark, pages_path, out_dir, snap, num_partitions=4)
     # a fresh snapshot id over the new file set is fine
     run_extraction(spark, pages_path, out_dir, snap + 7, num_partitions=4)
+
+
+def test_snapshot_partitioning_change_guard(spark, tmp_path):
+    """Resuming a pinned snapshot with a different group count must refuse
+    with the partitioning-specific message (same input, different
+    num_partitions would remap partition_ids onto different file groups)."""
+    import pytest as _pytest
+
+    out_dir = str(tmp_path / "out4")
+    pages_path = str(tmp_path / "pages4")
+    # 4 data files (limit() would coalesce to one file -> one group at any
+    # num_partitions, making the guard untestable)
+    pages_from_documents(spark, SF_SMALL, parallelism=4).write.parquet(pages_path)
+    snap = snapshot_id_for("regroup")
+    run_extraction(spark, pages_path, out_dir, snap, num_partitions=4,
+                   chunk_partitions=2, max_chunks=1)
+    with _pytest.raises(ValueError, match="partitioning changed"):
+        run_extraction(spark, pages_path, out_dir, snap, num_partitions=2)
+    # original partitioning resumes fine
+    run_extraction(spark, pages_path, out_dir, snap, num_partitions=4)
