@@ -31,9 +31,36 @@ from docling_ibm_models_spark.operators import (
 )
 
 
+# reference dataset config (tests/test_tf_predictor.py:54-64)
+TF_IMG_MEAN = [0.94247851, 0.94254675, 0.94292611]
+TF_IMG_STD = [0.17910956, 0.17940403, 0.17931663]
+TF_RESIZED = 448
+
+
 class DeterministicTableFormer:
     def __init__(self, weights: dict):
         self.grid_bias = int(weights.get("grid_bias", 0))
+
+    @staticmethod
+    def _prepare_crop(crop: bytes):
+        """P1+P2+P4-P8 for REAL: synthesize a deterministic small RGB
+        ndarray from the crop payload (no codec in-container — the byte →
+        pixel decode is the only faked step), then run the reference's
+        actual preprocessing chain (normalize → 448² bilinear resize →
+        (C,W,H) transpose → /255 → batch dim; tf_predictor.py:990-1015)
+        via operators/image_ops. The returned tensor seeds the decode, so
+        the transform math is load-bearing and covered by the pinned
+        pipeline signatures."""
+        import numpy as np
+
+        raw = hashlib.md5(crop if crop else b"").digest() * 12  # 192 bytes
+        side = 8
+        img = np.frombuffer(raw, dtype=np.uint8)[: side * side * 3].reshape(
+            side, side, 3
+        )
+        from docling_ibm_models_spark.operators.image_ops import prepare_image
+
+        return prepare_image(img, TF_IMG_MEAN, TF_IMG_STD, TF_RESIZED)
 
     def _decode_table(self, crop: bytes):
         """M2-M5 neural forward is a DETERMINISTIC FAKE (md5-seeded grid of
@@ -44,7 +71,8 @@ class DeterministicTableFormer:
         (models/decoder_semantics.py, reference-parity-tested against
         tablemodel04_rs.py:167-319 in tests/test_decoder_semantics_parity.py).
         """
-        h = hashlib.md5(crop if crop else b"").digest()
+        batch = self._prepare_crop(crop)  # (1, 3, 448, 448) float32
+        h = hashlib.md5(batch.tobytes()).digest()
         rows = 2 + (h[0] + self.grid_bias) % 4  # 2..5
         cols = 2 + h[1] % 4  # 2..5
         header = h[2] % 2 == 0

@@ -76,10 +76,84 @@ def _resize_area_zoom(img: np.ndarray, dw: int, dh: int) -> np.ndarray:
     acc = img.astype(np.float64)
     sy, sy1, fy = _zoom_coords(dh, h)
     sx, sx1, fx = _zoom_coords(dw, w)
-    top = acc[sy][:, sx] * (1 - fx) + acc[sy][:, sx1] * fx
-    bot = acc[sy1][:, sx] * (1 - fx) + acc[sy1][:, sx1] * fx
+    fx_row = fx.reshape(1, -1, *([1] * (acc.ndim - 2)))  # align to width axis
+    top = acc[sy][:, sx] * (1 - fx_row) + acc[sy][:, sx1] * fx_row
+    bot = acc[sy1][:, sx] * (1 - fx_row) + acc[sy1][:, sx1] * fx_row
     fy_col = fy.reshape(-1, *([1] * (acc.ndim - 1)))
     return top * (1 - fy_col) + bot * fy_col
+
+
+def _linear_coords(dst: int, src: int):
+    """cv2 INTER_LINEAR coordinate mapping: src = (dst+0.5)*scale - 0.5,
+    samples clamped at the border (BORDER_REPLICATE)."""
+    scale = src / dst
+    x = (np.arange(dst, dtype=np.float64) + 0.5) * scale - 0.5
+    x0 = np.floor(x).astype(np.int64)
+    fx = x - x0
+    lo = np.clip(x0, 0, src - 1)
+    hi = np.clip(x0 + 1, 0, src - 1)
+    return lo, hi, fx
+
+
+def resize_bilinear(img: np.ndarray, dw: int, dh: int) -> np.ndarray:
+    """cv2.resize(..., INTER_LINEAR) semantics in numpy (float arithmetic;
+    cv2's uint8 fixed-point fast path may differ by 1 LSB)."""
+    h, w = img.shape[:2]
+    acc = img.astype(np.float64)
+    y0, y1, fy = _linear_coords(dh, h)
+    x0, x1, fx = _linear_coords(dw, w)
+    fx_row = fx.reshape(1, -1, *([1] * (acc.ndim - 2)))  # align to width axis
+    top = acc[y0][:, x0] * (1 - fx_row) + acc[y0][:, x1] * fx_row
+    bot = acc[y1][:, x0] * (1 - fx_row) + acc[y1][:, x1] * fx_row
+    fy_col = fy.reshape(-1, *([1] * (acc.ndim - 1)))
+    out = top * (1 - fy_col) + bot * fy_col
+    if np.issubdtype(img.dtype, np.integer):
+        info = np.iinfo(img.dtype)
+        return np.clip(np.rint(out), info.min, info.max).astype(img.dtype)
+    return out.astype(img.dtype)
+
+
+def tf_normalize(img: np.ndarray, mean, std) -> np.ndarray:
+    """P2 — TableFormer channel normalization, numpy path of reference
+    functional.normalize (functional.py:52-53): note the 255·mean offset
+    while std is applied RAW (not scaled by 255) and the image is NOT yet
+    divided by 255 — the /255 happens later in _prepare_image."""
+    return (img.astype(np.float32) - 255.0 * np.array(mean)) / np.array(std)
+
+
+def tf_resize(img: np.ndarray, size, interpolation: str = "BILINEAR") -> np.ndarray:
+    """P4/P5 — reference functional.resize (functional.py:58-97): int size
+    matches the SMALLER edge preserving aspect (early-return when already
+    matched); (h, w) tuple resizes exactly. BILINEAR only (the reference's
+    predict path never uses another mode)."""
+    if interpolation != "BILINEAR":
+        raise NotImplementedError("predict path uses BILINEAR only")
+    if isinstance(size, int):
+        h, w = img.shape[:2]
+        if (w <= h and w == size) or (h <= w and h == size):
+            return img
+        if w < h:
+            ow, oh = size, int(size * h / w)
+        else:
+            oh, ow = size, int(size * w / h)
+        return resize_bilinear(img, ow, oh)
+    oh, ow = size
+    return resize_bilinear(img, int(ow), int(oh))
+
+
+def prepare_image(
+    img: np.ndarray, mean, std, resized_size: int
+) -> np.ndarray:
+    """P1+P2+P4-P8 — the reference's full TableFormer image preprocessing
+    (tf_predictor._prepare_image, tf_predictor.py:990-1015) without torch:
+    normalize → square BILINEAR resize → transpose to the reference's
+    quirky (channels, WIDTH, HEIGHT) layout (:1011 — not the usual C,H,W)
+    → /255 → add batch dim. Returns float32 (1, C, W, H)."""
+    out = tf_normalize(img, mean, std)
+    out = tf_resize(out, [resized_size, resized_size])
+    out = out.transpose(2, 1, 0)  # (channels, width, height) — quirk kept
+    out = (out / 255.0).astype(np.float32)
+    return out[np.newaxis, ...]
 
 
 def resize_img(image: np.ndarray, width: int | None = None, height: int | None = None):

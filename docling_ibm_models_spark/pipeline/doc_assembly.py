@@ -41,8 +41,16 @@ def _order_one_doc(pdf: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
-def order_elements(elements: DataFrame) -> DataFrame:
-    """page_elements → +reading_rank, grouped per url."""
+def order_elements(elements: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    """page_elements → +reading_rank, grouped per url.
+
+    ``num_partitions`` caps the grouping shuffle's width: for tiny inputs
+    the default 32 shuffle partitions cold-spawn 32 python workers to rank
+    a few hundred rows (~10-17 s of pure spawn cost in this sandbox). The
+    pre-repartition on the SAME key is reused by the groupBy (no second
+    Exchange). Leave None at scale."""
+    if num_partitions is not None:
+        elements = elements.repartition(num_partitions, "url")
     return elements.groupBy("url").applyInPandas(
         lambda pdf: _order_one_doc(pdf), schema=schemas.READING_ORDER_OUT
     )

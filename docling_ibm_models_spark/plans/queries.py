@@ -956,7 +956,7 @@ def ann_lsh_buckets(spark, sf_dir):
            round({_cos_sql("a.embedding", "b.embedding")}, 4) AS cosine
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
     WHERE a.vec_id < 150 AND b.vec_id < 150
-      AND {_cos_sql("a.embedding", "b.embedding")} >= 0.55
+      AND {_cos_sql("a.embedding", "b.embedding")} >= 0.40
     ORDER BY vec_a, vec_b
     """,
 )
@@ -970,7 +970,7 @@ def embedding_near_dup(spark, sf_dir):
     cos = _cos_spark(F.col("ea"), F.col("eb"))
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .where(cos >= 0.55)
+        .where(cos >= 0.40)
         .select("vec_a", "vec_b", F.round(cos, 4).alias("cosine"))
         .orderBy("vec_a", "vec_b")
     )
@@ -1376,7 +1376,7 @@ def _layout_clusters_df(spark, sf_dir):
 # stub changes with tools/regen_pipeline_sigs.py (rewrites this dict).
 _PINNED_SIGS = {
     "pipeline_layout_clusters": (1103, "d5b36eae5d9454367e840d40e7798c55"),
-    "pipeline_table_cells": (104, "503a0ce07f878d10dab1003d257edee7"),
+    "pipeline_table_cells": (104, "b827b34679b6382ef8e4141ed7be1028"),
 }
 
 _SIG_ORACLE = "SELECT {n}::BIGINT AS n_rows, '{sig}' AS sig"
@@ -1453,7 +1453,7 @@ def pipeline_reading_order(spark, sf_dir):
                 )
             )
     df = spark.createDataFrame(rows, schema=schemas.PAGE_ELEMENT)
-    return order_elements(df).select(
+    return order_elements(df, num_partitions=4).select(
         "url", "cid", "label", "reading_rank"
     ).orderBy("url", "reading_rank")
 

@@ -74,3 +74,71 @@ def test_weights_partition_of_unity(h, w, target):
     img = np.full((h, w), 42.0)
     out, _ = resize_img(img, height=target)
     assert np.allclose(out, 42.0)
+
+
+# ---- TableFormer preprocessing chain (P1/P2/P4-P8) --------------------------
+
+from docling_ibm_models_spark.operators.image_ops import (  # noqa: E402
+    prepare_image,
+    resize_bilinear,
+    tf_normalize,
+    tf_resize,
+)
+
+
+def test_tf_normalize_formula_quirk():
+    # reference functional.py:53: offset 255*mean, std applied RAW (not
+    # scaled by 255), no /255 yet
+    img = np.full((2, 2, 3), 128, dtype=np.uint8)
+    mean, std = [0.5, 0.25, 0.0], [2.0, 1.0, 0.5]
+    out = tf_normalize(img, mean, std)
+    # float64: the reference divides a float32 array by a float64 np.array,
+    # which promotes — preserved as-is
+    assert out.dtype == np.float64
+    assert np.allclose(out[0, 0], [(128 - 127.5) / 2.0, (128 - 63.75) / 1.0, 256.0])
+
+
+def test_resize_bilinear_exact_values():
+    # 2 -> 3 on one axis: src = (d+0.5)*2/3 - 0.5 -> [-1/6, 1/2, 7/6]
+    img = np.array([[0.0], [6.0]])
+    out = resize_bilinear(img, 1, 3)
+    assert np.allclose(out[:, 0], [0.0, 3.0, 6.0])  # clamped, midpoint, clamped
+
+
+def test_tf_resize_int_smaller_edge_and_early_return():
+    img = np.zeros((10, 5, 3), dtype=np.float32)
+    assert tf_resize(img, 5) is img  # w == size -> untouched (ref :79-80)
+    out = tf_resize(img, 4)
+    assert out.shape == (8, 4, 3)  # smaller edge to 4, aspect kept
+    out2 = tf_resize(np.zeros((5, 10, 3), dtype=np.float32), 4)
+    assert out2.shape == (4, 8, 3)
+
+
+def test_prepare_image_shape_and_range():
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(32, 24, 3), dtype=np.uint8)
+    mean = [0.94247851, 0.94254675, 0.94292611]
+    std = [0.17910956, 0.17940403, 0.17931663]
+    batch = prepare_image(img, mean, std, 448)
+    # reference quirk: (batch, channels, WIDTH, HEIGHT)
+    assert batch.shape == (1, 3, 448, 448)
+    assert batch.dtype == np.float32
+    # normalize then /255: values land in roughly [-6, +1] for uint8 input
+    assert float(batch.min()) > -7 and float(batch.max()) < 2
+    # deterministic
+    assert np.array_equal(batch, prepare_image(img, mean, std, 448))
+
+
+def test_three_channel_zoom_and_bilinear():
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(6, 5, 3), dtype=np.uint8)
+    up, sf = resize_img(img, height=12)  # zoom path, 3 channels
+    assert up.shape == (12, 10, 3) and sf == 2.0
+    # integer zoom = duplication per the INTER_AREA zoom formula
+    assert np.array_equal(up[::2, ::2], img)
+    bl = resize_bilinear(img.astype(np.float64), 10, 12)
+    assert bl.shape == (12, 10, 3)
+    # channels stay independent: a constant channel stays constant
+    flat = np.zeros((4, 4, 3)); flat[..., 1] = 9.0
+    out = resize_bilinear(flat, 7, 5)
+    assert np.allclose(out[..., 0], 0) and np.allclose(out[..., 1], 9.0)
