@@ -49,6 +49,18 @@ def clear_registry() -> None:
         _REGISTRY.clear()
 
 
+def get_profiler(name: str = "default", window_size: int = 20):
+    """Per-worker AggSectionProfiler singleton (reference AggProfiler is a
+    process-global singleton, app_profiler.py:148; here it rides the same
+    per-python-worker registry as the models, so each long-lived worker
+    aggregates a sliding window of its own table/page cycles)."""
+    from docling_ibm_models_spark.functions.profiler import AggSectionProfiler
+
+    return get_or_create(
+        f"_profiler:{name}", lambda: AggSectionProfiler(window_size=window_size)
+    )
+
+
 def broadcast_weights(spark, weights: dict) -> Any:
     """Driver-side: ship a weights dict to every executor once."""
     return spark.sparkContext.broadcast(weights)

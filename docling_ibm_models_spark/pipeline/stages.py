@@ -151,8 +151,12 @@ def table_structure_stage(
                 }
                 for t_idx, bbox in enumerate(r.table_bboxes):
                     crop = bytes(r.image or b"") + bytes([t_idx])
+                    # per-table profiling cycle into the worker's sliding
+                    # window (reference AggProfiler.start_agg per predict)
+                    cycle = harness.get_profiler("tableformer").start_cycle()
                     out = model.predict_table(
-                        iocr_page, list(bbox), crop, correct_overlapping_cells
+                        iocr_page, list(bbox), crop, correct_overlapping_cells,
+                        profiler=cycle,
                     )
                     cells = []
                     for i, c in enumerate(out["tf_cells"]):

@@ -82,3 +82,28 @@ def test_minhash_band_join_is_hash_join(spark):
     # the band-bucket candidate join must be an equi-join (hash-based),
     # never a cartesian/nested-loop
     assert "CartesianProduct" not in plan
+
+
+def test_q6_predicates_reach_the_scan(spark):
+    plan = plan_of(QUERIES["tpch_q6_revenue"](spark, SF_MED))
+    assert "PushedFilters" in plan
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert re.search(rf"(GreaterThan|LessThan|GreaterThanOrEqual|LessThanOrEqual)\({col}", plan), (
+            f"{col} predicate not pushed to the parquet scan"
+        )
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"l_shipdate", "l_discount", "l_quantity", "l_extendedprice"}, cols
+
+
+def test_semi_and_anti_joins_are_hash_joins(spark):
+    q4 = plan_of(QUERIES["tpch_q4_order_priority"](spark, SF_MED))
+    assert "LeftSemi" in q4 and "CartesianProduct" not in q4
+    q22 = plan_of(QUERIES["customers_without_orders"](spark, SF_MED))
+    assert "LeftAnti" in q22 and "CartesianProduct" not in q22
+
+
+def test_rollup_is_single_pass_expand(spark):
+    plan = plan_of(QUERIES["revenue_rollup"](spark, SF_MED))
+    assert "Expand" in plan  # ROLLUP = one pass + Expand...
+    assert "Union" not in plan  # ...not unioned per-level re-aggregations
