@@ -76,11 +76,11 @@ def _resize_area_zoom(img: np.ndarray, dw: int, dh: int) -> np.ndarray:
     acc = img.astype(np.float64)
     sy, sy1, fy = _zoom_coords(dh, h)
     sx, sx1, fx = _zoom_coords(dw, w)
-    fx_row = fx.reshape(1, -1, *([1] * (acc.ndim - 2)))  # align to width axis
-    top = acc[sy][:, sx] * (1 - fx_row) + acc[sy][:, sx1] * fx_row
-    bot = acc[sy1][:, sx] * (1 - fx_row) + acc[sy1][:, sx1] * fx_row
+    # separable, rows then columns (see resize_bilinear)
     fy_col = fy.reshape(-1, *([1] * (acc.ndim - 1)))
-    return top * (1 - fy_col) + bot * fy_col
+    rows = acc[sy] * (1 - fy_col) + acc[sy1] * fy_col
+    fx_row = fx.reshape(1, -1, *([1] * (acc.ndim - 2)))
+    return rows[:, sx] * (1 - fx_row) + rows[:, sx1] * fx_row
 
 
 def _linear_coords(dst: int, src: int):
@@ -102,11 +102,12 @@ def resize_bilinear(img: np.ndarray, dw: int, dh: int) -> np.ndarray:
     acc = img.astype(np.float64)
     y0, y1, fy = _linear_coords(dh, h)
     x0, x1, fx = _linear_coords(dw, w)
-    fx_row = fx.reshape(1, -1, *([1] * (acc.ndim - 2)))  # align to width axis
-    top = acc[y0][:, x0] * (1 - fx_row) + acc[y0][:, x1] * fx_row
-    bot = acc[y1][:, x0] * (1 - fx_row) + acc[y1][:, x1] * fx_row
+    # separable: interpolate rows first ((dh, w, C) — small when the source
+    # is small), then columns; 4 full-size gathers -> 2 + 2 tiny ones
     fy_col = fy.reshape(-1, *([1] * (acc.ndim - 1)))
-    out = top * (1 - fy_col) + bot * fy_col
+    rows = acc[y0] * (1 - fy_col) + acc[y1] * fy_col
+    fx_row = fx.reshape(1, -1, *([1] * (acc.ndim - 2)))  # align to width axis
+    out = rows[:, x0] * (1 - fx_row) + rows[:, x1] * fx_row
     if np.issubdtype(img.dtype, np.integer):
         info = np.iinfo(img.dtype)
         return np.clip(np.rint(out), info.min, info.max).astype(img.dtype)

@@ -1564,7 +1564,7 @@ def _layout_clusters_df(spark, sf_dir):
     )
     from docling_ibm_models_spark.sources.pages_source import pages_from_documents
 
-    pages = pages_from_documents(spark, sf_dir, max_doc_id=200)
+    pages = pages_from_documents(spark, sf_dir, max_doc_id=200, parallelism=8)
     bc = harness.broadcast_weights(spark, default_weights())
     return layout_stage(page_records_stage(pages), bc)
 
@@ -1605,7 +1605,7 @@ def _table_cells_df(spark, sf_dir):
     )
     from docling_ibm_models_spark.sources.pages_source import pages_from_documents
 
-    pages = pages_from_documents(spark, sf_dir, max_doc_id=100)
+    pages = pages_from_documents(spark, sf_dir, max_doc_id=100, parallelism=8)
     bc = harness.broadcast_weights(spark, default_weights())
     tables = table_structure_stage(page_records_stage(pages), bc)
     return tables.select(
@@ -1752,7 +1752,7 @@ def pipeline_table_profile(spark, sf_dir):
         if rows:
             yield pd.DataFrame(rows)
 
-    recs = page_records_stage(pages_from_documents(spark, sf_dir, max_doc_id=100))
+    recs = page_records_stage(pages_from_documents(spark, sf_dir, max_doc_id=100, parallelism=8))
     per_task = recs.mapInPandas(gen, schema=schema)
     return (
         per_task.groupBy("section")
