@@ -46,33 +46,14 @@ def _spark(master: str, shuffle: int):
     return get_spark(app_name=f"bench-{master}", master=master, shuffle_partitions=shuffle)
 
 
-def _pages_cache_dir() -> str:
-    """Cache key = (sf_dir, replicas, generator-source hash): regenerating
-    80k pages costs ~40 s/run and the input is a pure function of the key,
-    so cache across bench invocations (stabilizes inter-round comparability
-    too — same parquet files, same scan layout)."""
-    import hashlib
-
-    gen_src = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)),
-        "docling_ibm_models_spark/sources/pages_source.py",
-    )
-    with open(gen_src, "rb") as f:
-        gen_hash = hashlib.md5(f.read()).hexdigest()[:12]
-    key = f"{SF_DIR.replace('/', '_')}-r{REPLICAS}-{gen_hash}"
-    return os.path.join(tempfile.gettempdir(), "bench_pages_cache", key)
-
-
 def materialize_pages() -> tuple[str, int]:
-    """Producer job: documents.parquet → pages parquet (not timed, cached)."""
-    cache = _pages_cache_dir()
-    pages_path = f"{cache}/pages"
+    """Producer job: documents.parquet → pages parquet (not timed, cached
+    under /tmp keyed by (sf_dir, replicas, generator hash) — stabilizes
+    inter-round comparability: same parquet files, same scan layout)."""
     spark = _spark(f"local[{CPUS}]", CPUS)
-    from docling_ibm_models_spark.sources.pages_source import pages_from_documents
+    from docling_ibm_models_spark.sources.pages_source import cached_pages_path
 
-    if not os.path.exists(f"{pages_path}/_SUCCESS"):
-        pages = pages_from_documents(spark, SF_DIR, replicas=REPLICAS)
-        pages.write.mode("overwrite").parquet(pages_path)
+    pages_path = cached_pages_path(spark, SF_DIR, replicas=REPLICAS)
     n = spark.read.parquet(pages_path).count()
     spark.stop()
     return pages_path, n
@@ -165,14 +146,22 @@ def run_extra_queries() -> dict[str, float]:
         return {}
     spark = _spark(f"local[{CPUS}]", CPUS)
     times: dict[str, float] = {}
+    passes = int(os.environ.get("BENCH_QUERY_PASSES", "2"))
+    # min over passes: this VM has minutes-long noisy windows, and a single
+    # unlucky pass misreports a query by 10-20s (same protocol as the
+    # extraction scaling runs)
     for name, fn in qs.items():
-        t0 = time.monotonic()
-        try:
-            df = fn(spark, SF_DIR)
-            df.write.format("noop").mode("overwrite").save()
-            times[name] = round(time.monotonic() - t0, 3)
-        except Exception:
-            times[name] = -1.0
+        walls = []
+        for _ in range(passes):
+            t0 = time.monotonic()
+            try:
+                df = fn(spark, SF_DIR)
+                df.write.format("noop").mode("overwrite").save()
+                walls.append(round(time.monotonic() - t0, 3))
+            except Exception:
+                walls = [-1.0]
+                break
+        times[name] = min(walls)
     spark.stop()
     return times
 

@@ -1510,7 +1510,6 @@ def extract_match(spark, sf_dir):
     from pyspark.sql.types import IntegerType, StringType, StructField, StructType
 
     from docling_ibm_models_spark.functions.html_extract import extract_main_content
-    from docling_ibm_models_spark.sources.pages_source import pages_from_documents
 
     schema = StructType(
         [
@@ -1532,9 +1531,12 @@ def extract_match(spark, sf_dir):
                 {"url": pdf["url"], "lang": pdf["lang"], "is_match": matches}
             )
 
-    # single narrow pass: generate → extract → compare inside one Arrow
+    # single narrow pass: scan (cached pages materialization — the 'table
+    # already in the lake' shape) → extract → compare inside one Arrow
     # batch (no second generation, no join shuffle)
-    pages = pages_from_documents(spark, sf_dir)
+    from docling_ibm_models_spark.sources.pages_source import cached_pages
+
+    pages = cached_pages(spark, sf_dir)
     return pages.mapInPandas(check, schema=schema).orderBy("url")
 
 

@@ -157,6 +157,31 @@ def docs_batch_to_pages(pdf: pd.DataFrame, replicas: int = 1) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"])
 
 
+def cached_pages_path(spark, sf_dir: str, replicas: int = 1) -> str:
+    """Materialize :func:`pages_from_documents` once, cached under /tmp
+    keyed by (sf_dir, replicas, this file's hash). Page generation is a
+    pure function of the key, and regenerating it inside every consumer
+    (bench passes, extract_match) costs ~10-40 s/run at sf0.1; the cache is
+    the local stand-in for 'the pages table already exists in the lake'."""
+    import hashlib
+    import os
+    import tempfile
+
+    with open(__file__, "rb") as f:
+        gen_hash = hashlib.md5(f.read()).hexdigest()[:12]
+    key = f"{sf_dir.replace('/', '_')}-r{replicas}-{gen_hash}"
+    path = os.path.join(tempfile.gettempdir(), "bench_pages_cache", key, "pages")
+    if not os.path.exists(f"{path}/_SUCCESS"):
+        pages_from_documents(spark, sf_dir, replicas=replicas).write.mode(
+            "overwrite"
+        ).parquet(path)
+    return path
+
+
+def cached_pages(spark, sf_dir: str, replicas: int = 1):
+    return spark.read.parquet(cached_pages_path(spark, sf_dir, replicas))
+
+
 def pages_from_documents(
     spark,
     sf_dir: str,

@@ -81,3 +81,22 @@ def stream_events_windowed(events_stream: DataFrame) -> DataFrame:
             "sum_value",
         )
     )
+
+
+def stream_dedup_pages(pages_stream: DataFrame, watermark: str = "24 hours") -> DataFrame:
+    """Streaming exact dedup for continuously-crawled pages: content hash
+    (md5 of canonicalized text — same key as the batch ``dedup_exact``
+    query) deduplicated with ``dropDuplicatesWithinWatermark``, so state is
+    EVICTED once the watermark passes (bounded state at 10^12-doc scale —
+    a plain dropDuplicates would hold every key forever). Re-crawls of the
+    same content inside the watermark horizon emit once; the batch twin is
+    the keep-min-doc_id exact dedup."""
+    hashed = (
+        pages_stream.withColumn("ts", F.col("warc_ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .withColumn(
+            "content_hash",
+            F.md5(F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")),
+        )
+    )
+    return hashed.dropDuplicatesWithinWatermark(["content_hash"])

@@ -85,3 +85,44 @@ def test_stream_events_windowed_matches_batch(spark, tmp_path):
     for k, v in got.items():
         assert expected[k] == v
     assert len(got) >= len(expected) - 3
+
+
+def test_stream_dedup_pages(spark, tmp_path):
+    """Watermarked streaming dedup: duplicated pages collapse to one row
+    per content hash; a second drain adds nothing for re-crawled content
+    still inside the watermark horizon."""
+    from docling_ibm_models_spark import schemas
+    from docling_ibm_models_spark.streaming.stream_extract import stream_dedup_pages
+
+    pages_dir = str(tmp_path / "pages_dd")
+    out_dir = str(tmp_path / "out_dd")
+    ckpt = str(tmp_path / "ckpt_dd")
+
+    pages = pages_from_documents(spark, SF_SMALL, parallelism=4, max_doc_id=100)
+    pages.write.mode("append").parquet(pages_dir)
+
+    def drain():
+        stream = spark.readStream.schema(schemas.PAGES).parquet(pages_dir)
+        q = (
+            stream_dedup_pages(stream)
+            .select("url", "content_hash")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    n_hashes = pages.select(
+        F.md5(F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " "))
+    ).distinct().count()
+    got = spark.read.parquet(out_dir)
+    assert got.count() == n_hashes  # exact one-row-per-content collapse
+    assert got.select("content_hash").distinct().count() == n_hashes
+
+    # re-crawl: same content arrives again inside the watermark -> no new rows
+    pages.write.mode("append").parquet(pages_dir)
+    drain()
+    assert spark.read.parquet(out_dir).count() == n_hashes
