@@ -184,10 +184,16 @@ def main() -> None:
     # windows, so a single unlucky invocation would poison one side of the
     # scaling ratio. Two invocations per side, min wall across them.
     runs: dict[int, list[dict]] = {small: [], big: []}
+    fulls: list[dict] = []
     for _ in range(2):
         runs[small].append(run_worker_subprocess(f"local[{small}]", pages_path))
         runs[big].append(run_worker_subprocess(f"local[{big}]", pages_path))
-    r_full = run_worker_subprocess(f"local[{CPUS}]", pages_path, task_cpus=2)
+        # full-machine headline also gets two interleaved invocations — a
+        # single one can land entirely inside a noisy window
+        fulls.append(run_worker_subprocess(f"local[{CPUS}]", pages_path, task_cpus=2))
+    r_full = min(fulls, key=lambda r: r["wall_s"])
+    r_full["walls"] = [w for r in fulls for w in r["walls"]]
+    r_full["steal_frac"] = [s for r in fulls for s in r["steal_frac"]]
 
     wall_small = min(r["wall_s"] for r in runs[small])
     wall_big = min(r["wall_s"] for r in runs[big])

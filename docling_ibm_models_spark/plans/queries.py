@@ -1030,6 +1030,164 @@ def dedup_simhash(spark, sf_dir):
     return bits.select("doc_id", sim.cast("long").alias("simhash")).orderBy("doc_id")
 
 
+_SIMHASH_PAIR_BITS = 32  # wider sketch for pair search (16-bit is too coarse)
+_HAMMING_MAX = 3
+
+
+def _simhash32_df(spark, sf_dir):
+    """32-bit simhash sketches (same construction as dedup_simhash at
+    _SIMHASH_BITS — per-word hash bit votes)."""
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+        ).alias("w"),
+    )
+    wh = words.select("doc_id", _h32_spark(F.col("w")).alias("h"))
+    bits = wh.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), j).bitwiseAND(1) == 1, 1).otherwise(-1)
+            ).alias(f"b{j}")
+            for j in range(_SIMHASH_PAIR_BITS)
+        ]
+    )
+    sim = None
+    for j in range(_SIMHASH_PAIR_BITS):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return bits.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+_SIMHASH32_SQL = f"""
+    WITH words AS (
+      SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+'))) AS w
+      FROM documents
+    ),
+    wh AS (SELECT doc_id, {_h32_sql("w")} AS h FROM words),
+    bits AS (
+      SELECT doc_id,
+             {", ".join(f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}" for j in range(_SIMHASH_PAIR_BITS))}
+      FROM wh GROUP BY doc_id
+    ),
+    sh AS (
+      SELECT doc_id,
+             ({" + ".join(f"(CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(_SIMHASH_PAIR_BITS))})::BIGINT AS simhash
+      FROM bits
+    ),
+    cl AS (
+      SELECT simhash, count(*) AS n_docs, min(doc_id) AS rep_doc_id
+      FROM sh GROUP BY simhash
+    )
+"""
+
+
+@register(
+    "dedup_simhash_pairs",
+    oracle=f"""{_SIMHASH32_SQL}
+    SELECT a.simhash AS sketch_a, b.simhash AS sketch_b,
+           bit_count(xor(a.simhash, b.simhash))::INT AS hamming,
+           a.n_docs AS docs_a, b.n_docs AS docs_b
+    FROM cl a JOIN cl b ON a.simhash < b.simhash
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {_HAMMING_MAX}
+    ORDER BY sketch_a, sketch_b
+    """,
+)
+def dedup_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup CLUSTER links: docs collapse into exact-sketch
+    clusters first (one groupBy — pair enumeration inside a cluster is
+    inherently quadratic, production dedup never materializes it), then
+    hamming ≤ 3 links BETWEEN clusters. The cluster join is BLOCKED on
+    8-bit sketch blocks: hamming ≤ 3 means at least one of the
+    HAMMING_MAX+1 = 4 blocks matches exactly (pigeonhole; Manku et al.'s
+    scheme — a 64-bit production sketch uses 4×16-bit blocks), so coverage
+    needs only 4 equi-joins, never a quadratic self-join. The oracle uses
+    the plain quadratic form (fine at oracle SF) — results must agree
+    exactly."""
+    sh = _simhash32_df(spark, sf_dir)
+    cl = sh.groupBy("simhash").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("rep_doc_id")
+    )
+    n_blocks = _HAMMING_MAX + 1  # pigeonhole: ≤3 flipped bits miss ≥1 block
+    bits_per = _SIMHASH_PAIR_BITS // n_blocks
+    hamming = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    ).cast("int")
+    pairs = None
+    for i in range(n_blocks):
+        blk = (
+            F.shiftright(F.col("simhash"), i * bits_per)
+            .bitwiseAND((1 << bits_per) - 1)
+            .alias("blk")
+        )
+        blocked = cl.select("simhash", "n_docs", blk)
+        a, b = blocked.alias("a"), blocked.alias("b")
+        cand = a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.simhash") < F.col("b.simhash")),
+        ).select(
+            F.col("a.simhash").alias("sketch_a"),
+            F.col("b.simhash").alias("sketch_b"),
+            hamming.alias("hamming"),
+            F.col("a.n_docs").alias("docs_a"),
+            F.col("b.n_docs").alias("docs_b"),
+        )
+        pairs = cand if pairs is None else pairs.unionByName(cand)
+    return (
+        pairs.where(F.col("hamming") <= _HAMMING_MAX)
+        .distinct()
+        .orderBy("sketch_a", "sketch_b")
+    )
+
+
+@register(
+    "corpus_curation",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang, text,
+             md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS content_hash,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+      FROM documents
+      WHERE len(text) >= 80
+    ),
+    kept AS (
+      SELECT * FROM scored
+      QUALIFY row_number() OVER (PARTITION BY content_hash ORDER BY doc_id) = 1
+    )
+    SELECT lang, count(*) AS n_docs, sum(n_tokens)::BIGINT AS total_tokens
+    FROM kept GROUP BY lang ORDER BY lang
+    """,
+)
+def corpus_curation(spark, sf_dir):
+    """The composed training-data curation pipeline in one plan: length
+    filter (scan-pushed) → exact dedup keeping min doc_id per content hash
+    (one shuffle) → per-language corpus stats. The shape every LLM-corpus
+    build runs at 10^12 docs; everything stays JVM-side codegen."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents").where(F.length("text") >= 80)
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        F.md5(
+            F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+        ).alias("content_hash"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
+    )
+    w = Window.partitionBy("content_hash").orderBy("doc_id")
+    kept = scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
 # ===========================================================================
 # 4. Embedding similarity operators
 # ===========================================================================
