@@ -69,10 +69,38 @@ def topk_sort(class_probs: list[float], classes: list[str] | None = None):
     return preds
 
 
-class DeterministicCodeFormulaPredictor:
-    """M7 stand-in: prompt build + stubbed generate + real tail strip."""
+def validate_predict_inputs(images, labels, temperature=0.0):
+    """The reference predict()'s deterministic input-validation contract
+    (code_formula_predictor.py:196-227, covered by reference
+    tests/test_code_formula_predictor.py:63-111): temperature must be a
+    non-negative number (plain Exception otherwise), image/label counts
+    must match (Exception), and unsupported image payload types raise
+    TypeError. Returns do_sample (False when temperature == 0)."""
+    if (
+        temperature is None
+        or not isinstance(temperature, (float, int))
+        or temperature < 0
+    ):
+        raise Exception("Temperature must be a number greater or equal to 0.")
+    do_sample = temperature != 0
+    if len(labels) != len(images):
+        raise Exception(
+            "The number of images must be the same as the number of labels."
+        )
+    for image in images:
+        if not isinstance(image, (bytes, bytearray, memoryview)):
+            raise TypeError("Not supported input image format")
+    return do_sample
 
-    def predict(self, images: list[bytes], labels: list[str]) -> list[str]:
+
+class DeterministicCodeFormulaPredictor:
+    """M7 stand-in: real input-validation contract + prompt build + stubbed
+    generate + real tail strip."""
+
+    def predict(
+        self, images: list[bytes], labels: list[str], temperature: float = 0.0
+    ) -> list[str]:
+        validate_predict_inputs(images, labels, temperature)
         out = []
         for img, label in zip(images, labels):
             _prompt = build_prompt(label)  # raises on bad label, like reference
@@ -86,9 +114,15 @@ class DeterministicCodeFormulaPredictor:
 
 
 class DeterministicFigureClassifier:
-    """M8 stand-in: stubbed softmax + real top-k contract."""
+    """M8 stand-in: stubbed softmax + real top-k + input-type contract
+    (reference document_figure_classifier_predictor.py:150-158 raises
+    TypeError on unsupported payloads, covered by its
+    tests/test_document_figure_classifier.py:64-71)."""
 
     def predict(self, images: list[bytes]) -> list[list[tuple[str, float]]]:
+        for image in images:
+            if not isinstance(image, (bytes, bytearray, memoryview)):
+                raise TypeError("Not supported input image format")
         batch = []
         for img in images:
             h = hashlib.md5(img or b"").digest()

@@ -64,3 +64,47 @@ def test_stub_predictors_deterministic():
     assert len(p) == 16
     assert abs(sum(prob for _, prob in p) - 1.0) < 1e-9
     assert p == sorted(p, key=lambda t: t[1], reverse=True)
+
+
+def test_predict_input_validation_reference_scenarios():
+    """The reference's deterministic predict() input contract
+    (tests/test_code_formula_predictor.py:63-111): bad temperature type ->
+    Exception, negative -> Exception, None -> Exception, image/label count
+    mismatch -> Exception, unsupported image type -> TypeError."""
+    import pytest as _pytest
+
+    from docling_ibm_models_spark.models.aux_predictors import (
+        DeterministicCodeFormulaPredictor,
+        validate_predict_inputs,
+    )
+
+    p = DeterministicCodeFormulaPredictor()
+    img = b"\x00" * 10
+
+    with _pytest.raises(TypeError):
+        p.predict(["wrong"], ["code"])
+    with _pytest.raises(Exception):
+        p.predict([img], ["code"], "0.1")
+    with _pytest.raises(Exception):
+        p.predict([img], ["code"], -0.1)
+    with _pytest.raises(Exception):
+        p.predict([img], ["code"], None)
+    with _pytest.raises(Exception):
+        p.predict([img], ["code", "code"])
+    # valid forms pass; do_sample mirrors the temperature==0 switch
+    assert p.predict([img], ["code"], 0.0)
+    assert validate_predict_inputs([img], ["x"], 0) is False
+    assert validate_predict_inputs([img], ["x"], 0.5) is True
+
+
+def test_figure_classifier_rejects_unsupported_payload():
+    import pytest as _pytest
+
+    from docling_ibm_models_spark.models.aux_predictors import (
+        DeterministicFigureClassifier,
+    )
+
+    with _pytest.raises(TypeError):
+        DeterministicFigureClassifier().predict(["wrong"])
+    out = DeterministicFigureClassifier().predict([b"ok"])
+    assert out and out[0][0][1] >= out[0][-1][1]  # sorted desc by confidence
