@@ -62,17 +62,19 @@ class DeterministicTableFormer:
 
         return prepare_image(img, TF_IMG_MEAN, TF_IMG_STD, TF_RESIZED)
 
-    def _decode_table(self, crop: bytes):
-        """M2-M5 neural forward is a DETERMINISTIC FAKE (md5-seeded grid of
-        PROPOSED tags, sometimes with lcel spans / ucel / xcel proposals),
+    def _decode_table(self, batch):
+        """M2-M5 neural forward is a DETERMINISTIC FAKE seeded by the
+        prepared image tensor (md5-seeded grid of PROPOSED tags, sometimes
+        with lcel spans / ucel / xcel proposals),
         but everything the real decoder does deterministically around the
         forward — in-loop grammar corrections, bbox-slot emission, the
         span-merge registry, cxcywh→xyxy — is the REAL ported semantics
         (models/decoder_semantics.py, reference-parity-tested against
         tablemodel04_rs.py:167-319 in tests/test_decoder_semantics_parity.py).
         """
-        batch = self._prepare_crop(crop)  # (1, 3, 448, 448) float32
-        h = hashlib.md5(batch.tobytes()).digest()
+        h = hashlib.md5(
+            batch.tobytes() if hasattr(batch, "tobytes") else (batch or b"")
+        ).digest()
         rows = 2 + (h[0] + self.grid_bias) % 4  # 2..5
         cols = 2 + h[1] % 4  # 2..5
         header = h[2] % 2 == 0
@@ -143,9 +145,14 @@ class DeterministicTableFormer:
         prof = profiler if profiler is not None else SectionProfiler()
         sec = prof.section if prof else (lambda _n: nullcontext())
 
+        # image preprocessing runs OUTSIDE every profiled section, exactly
+        # like the reference (_prepare_image at tf_predictor.py:731 sits
+        # between start_agg and the first begin()); the prepared tensor
+        # seeds the fake decode so the real transform chain is load-bearing
+        batch = self._prepare_crop(crop)  # (1, 3, 448, 448) float32
         with sec("predict_total"):
             with sec("model_tag_transformer_decoder"):
-                rs_seq, bboxes, classes = self._decode_table(crop)
+                rs_seq, bboxes, classes = self._decode_table(batch)
             if not otsl_ops.is_square(rs_seq):
                 rs_seq = otsl_ops.pad_to_square(rs_seq, "lcel")
             html_seq = otsl_ops.otsl_to_html(rs_seq)

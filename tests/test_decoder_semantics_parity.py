@@ -117,3 +117,34 @@ def test_merge_with_last_quirk_values():
     classes = _classes_for(res.n_slots)
     _, merged = ds.merge_spans(classes, coords, res.bboxes_to_merge)
     assert merged[-1] == ds.merge_bboxes(coords[1], coords[-1])
+
+
+# -- property-based parity (hypothesis) ---------------------------------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(st.sampled_from(TAGS + ["<end>"]), min_size=1, max_size=60),
+        st.integers(min_value=1, max_value=64),
+    )
+    def test_property_parity_any_stream(proposed, max_len):
+        if "<end>" not in proposed:
+            max_len = min(max_len, len(proposed))
+        res = ds.decode_postfix(proposed, max_pred_len=max_len)
+        coords = _coords_for(max(res.n_slots, 1))
+        classes = _classes_for(max(res.n_slots, 1))
+        ref_tags, ref_slots, ref_cls, ref_coord = run_reference_decode(
+            proposed, coords, classes, max_pred_len=max_len
+        )
+        assert ref_tags == res.tags
+        assert ref_slots == res.n_slots
+        my_cls, my_coord = ds.merge_spans(
+            classes[: res.n_slots], coords[: res.n_slots], res.bboxes_to_merge
+        )
+        assert (ref_cls, ref_coord) == (my_cls, my_coord)
+
+except ImportError:  # pragma: no cover
+    pass
