@@ -159,9 +159,9 @@ def run_extra_queries() -> dict[str, float]:
                 df.write.format("noop").mode("overwrite").save()
                 walls.append(round(time.monotonic() - t0, 3))
             except Exception:
-                walls = [-1.0]
-                break
-        times[name] = min(walls)
+                pass  # keep any successful pass; a transient failure on a
+                # later pass must not discard a real measurement
+        times[name] = min(walls) if walls else -1.0
     spark.stop()
     return times
 

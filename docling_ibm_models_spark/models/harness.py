@@ -53,11 +53,17 @@ def get_profiler(name: str = "default", window_size: int = 20):
     """Per-worker AggSectionProfiler singleton (reference AggProfiler is a
     process-global singleton, app_profiler.py:148; here it rides the same
     per-python-worker registry as the models, so each long-lived worker
-    aggregates a sliding window of its own table/page cycles)."""
+    aggregates a sliding window of its own table/page cycles).
+
+    ``window_size`` is part of the registry key: asking for the same name
+    with a different window yields a DIFFERENT profiler instance rather
+    than silently returning one with the wrong window (the reference
+    singleton has the same first-caller-wins trap, AggProfiler.__init__)."""
     from docling_ibm_models_spark.functions.profiler import AggSectionProfiler
 
     return get_or_create(
-        f"_profiler:{name}", lambda: AggSectionProfiler(window_size=window_size)
+        f"_profiler:{name}:w{window_size}",
+        lambda: AggSectionProfiler(window_size=window_size),
     )
 
 

@@ -349,14 +349,18 @@ def html_to_otsl(structure_tokens: list[str], cell_is_empty: list[bool] | None =
     return OtslTable(tags=tags, spans=spans, rows=n_rows, cols=width)
 
 
+# exact token → span lookup, byte-for-byte the reference's fixed dicts
+# (otsl.py:267-309): ONLY ' colspan="k"' / ' rowspan="k"' with k in 2..20,
+# single leading space, no padding ('02'), no trailing whitespace — any
+# variant is silently ignored, exactly like a dict miss in the reference
+_SPAN_TOKENS = {
+    kind: {f' {kind}="{k}"': k for k in range(2, 21)}
+    for kind in ("colspan", "rowspan")
+}
+
+
 def _attr_span(tok: str, kind: str) -> int | None:
-    """Token → span length, replicating the reference's fixed lookup tables
-    (otsl.py:267-309): only ``' {kind}="k"'`` with k in 2..20 is recognised;
-    anything else (k=21, different whitespace) is silently ignored."""
-    parsed = _parse_span_attr(tok)
-    if parsed and parsed[0] == kind and 2 <= parsed[1] <= 20 and tok.startswith(" "):
-        return parsed[1]
-    return None
+    return _SPAN_TOKENS[kind].get(tok)
 
 
 def html_to_otsl_ref(

@@ -90,7 +90,12 @@ def _check_snapshot_manifest(
     files = sorted(f for g in groups for f in g)
     fingerprint = zlib.crc32("\n".join(files).encode())
     num_groups = len(groups)
-    path = f"{out_dir}/_manifest"
+    # v2: sorted-file fingerprint + explicit num_groups. The v1 manifest
+    # (round-robin-flattened fingerprint, no num_groups column) is
+    # schema- AND value-incompatible, so v2 lives at its own path — a v1
+    # out_dir re-pins on the next run instead of silently mixing schemas
+    # in one directory or false-alarming on the changed fingerprint basis.
+    path = f"{out_dir}/_manifest_v2"
     try:
         prev = {
             r.snapshot_id: (r.fingerprint, r.num_groups)

@@ -729,18 +729,25 @@ _SHINGLES_SQL = """
 """
 
 
-def _shingles3_py(text):
+def _shingles3_py(text):  # noqa: C901 (kept in lockstep with the SQL twin)
     # Arrow-vectorized 3-gram shingling. The pure-Catalyst formulation
     # (transform(sequence(...), i -> concat_ws(element_at×3)) + array_distinct)
     # is interpreted, not codegen'd (higher-order functions), and measured
     # ~2 ms/row here — 20× slower than this batch UDF for identical output.
-    # str.split() == trim + \s+ split for the ASCII corpus (and the oracle's
-    # regexp_split_to_array('\s+')).
+    # Tokenization mirrors the oracle's regexp_split_to_array(trim(lower(
+    # text)), '\s+') EXACTLY: trim strips SPACES only (not \n/\t), and a
+    # leading non-space whitespace char yields an empty first token — a
+    # plain str.split() would silently drop it and diverge. (\s is
+    # unicode-aware in Python vs ASCII in DuckDB's RE2 — equal on this
+    # ASCII corpus.)
+    import re
+
     import pandas as pd
 
+    ws_re = re.compile(r"\s+")
     out = []
     for t in text:
-        ws = t.strip().lower().split()
+        ws = ws_re.split(t.lower().strip(" "))
         if len(ws) < 3:
             out.append(None)
             continue
@@ -859,14 +866,17 @@ _MINHASH_LSH_ORACLE = f"""
     """
 
 
-def _minhash_bands(spark, sf_dir):
+def _minhash_bands(spark, sf_dir, sh=None):
     """doc_id → (band, bucket) rows: ONE groupBy(doc_id) computing all k
     minhashes as k parallel min() aggregate columns over the exploded
     shingle table (round 1 multiplied the shingle table ×k via crossJoin —
     k× the shuffle volume for the identical result), then k/_BAND_ROWS
-    bucket strings assembled as array expressions and exploded (narrow)."""
-    docs = _t(spark, sf_dir, "documents")
-    ex = _shingles_spark(docs).select("doc_id", F.explode("shingles").alias("s"))
+    bucket strings assembled as array expressions and exploded (narrow).
+    Pass a (cached) ``sh`` shingle-set DataFrame to share its computation
+    with other consumers in the same plan."""
+    if sh is None:
+        sh = _shingles_spark(_t(spark, sf_dir, "documents"))
+    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
     hashes = ex.groupBy("doc_id").agg(
         *[
             F.min(
@@ -896,8 +906,8 @@ def _minhash_bands(spark, sf_dir):
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
 
-def _lsh_candidates(spark, sf_dir):
-    bands = _minhash_bands(spark, sf_dir)
+def _lsh_candidates(spark, sf_dir, sh=None):
+    bands = _minhash_bands(spark, sf_dir, sh=sh)
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -962,11 +972,12 @@ def dedup_minhash_verified(spark, sf_dir):
     with EXACT Jaccard over the full shingle sets. Only candidates pay the
     set-intersection cost, so at 10^12 docs this is O(candidates), not
     O(n²); the intersection itself is a narrow array_intersect on the two
-    joined shingle arrays (no re-explode, no extra shuffle beyond the two
-    candidate→shingle-set hash joins)."""
+    joined shingle arrays. The shingle-set DataFrame is persisted and
+    shared by the candidate generation and both join sides — otherwise the
+    shingling UDF would re-run up to ~5× inside this one action."""
     docs = _t(spark, sf_dir, "documents")
-    sh = _shingles_spark(docs)
-    cand = _lsh_candidates(spark, sf_dir)
+    sh = _shingles_spark(docs).persist()
+    cand = _lsh_candidates(spark, sf_dir, sh=sh)
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
@@ -1558,7 +1569,14 @@ def window_top1_match(spark, sf_dir):
 )
 def dense_rank_compaction(spark, sf_dir):
     """A11 — row/col index compaction (tf_predictor.py:502-564): distinct
-    raw indices → gap-free dense ranks."""
+    raw indices → gap-free dense ranks.
+
+    The global (unpartitioned) window is deliberate and safe: it runs
+    AFTER the distinct(), whose cardinality is bounded by the raw index
+    domain (a single table's row/col indices — ≤ a few hundred; 37 here),
+    not by the input row count. In the full pipeline this compaction is
+    applied per table inside the grouped UDF (response_gen.
+    compact_row_col_indexes), so no global window ever sees large data."""
     from pyspark.sql import Window
 
     li = _t(spark, sf_dir, "lineitem")
@@ -1705,10 +1723,14 @@ def extract_match(spark, sf_dir):
 
 def _signature(df, cols):
     """Canonical 1-row signature of a deterministic stage output: row count
-    + md5 over the sorted '|'-joined string rows. A TEST construct — the
+    + md5 over the sorted '|'-joined string rows. NULLs are encoded with an
+    explicit marker (concat_ws silently SKIPS nulls, which would let
+    ('a', NULL, 'b') and ('a', 'b', NULL) collide). A TEST construct — the
     scale path is the raw stage; the collect_list here is bounded by the
-    query's own limit()."""
-    row_str = F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
+    query's own doc_id filter."""
+    row_str = F.concat_ws(
+        "|", *[F.coalesce(F.col(c).cast("string"), F.lit("␀")) for c in cols]
+    )
     return df.select(row_str.alias("r")).agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.md5(F.concat_ws("\n", F.sort_array(F.collect_list("r")))).alias("sig"),

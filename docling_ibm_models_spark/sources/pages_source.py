@@ -167,8 +167,17 @@ def cached_pages_path(spark, sf_dir: str, replicas: int = 1) -> str:
     import os
     import tempfile
 
-    with open(__file__, "rb") as f:
-        gen_hash = hashlib.md5(f.read()).hexdigest()[:12]
+    from docling_ibm_models_spark.functions import html_extract
+
+    # the generated html AND the ground-truth text column depend on
+    # html_extract.py too (assemble/normalize_text/MIN_CONTENT_CHARS) —
+    # hash every module that shapes the output, or edits there would be
+    # served stale pages
+    h = hashlib.md5()
+    for mod_file in (__file__, html_extract.__file__):
+        with open(mod_file, "rb") as f:
+            h.update(f.read())
+    gen_hash = h.hexdigest()[:12]
     key = f"{sf_dir.replace('/', '_')}-r{replicas}-{gen_hash}"
     path = os.path.join(tempfile.gettempdir(), "bench_pages_cache", key, "pages")
     if not os.path.exists(f"{path}/_SUCCESS"):

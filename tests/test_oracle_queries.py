@@ -76,3 +76,32 @@ def test_query_matches_oracle(spark, duck, name):
         diff_s = [r for r in sset if r not in dset][:5]
         diff_d = [r for r in dset if r not in sset][:5]
         raise AssertionError(f"{name}: value mismatch\nspark-only={diff_s}\nduck-only={diff_d}")
+
+
+def test_shingle_tokenization_matches_oracle_on_hostile_whitespace(spark, duck):
+    """The Arrow shingling UDF must mirror regexp_split_to_array(trim(
+    lower(text)), '\\s+') even for leading \\n/\\t (trim strips SPACES
+    only, so a leading non-space whitespace yields an empty first token —
+    a plain str.split() drops it and diverges)."""
+    from docling_ibm_models_spark.plans import queries as Q
+
+    rows = [
+        (0, "\nalpha beta gamma delta"),
+        (1, "\talpha beta gamma delta"),
+        (2, "  alpha beta gamma delta  "),
+        (3, "alpha\nbeta gamma\tdelta epsilon"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: sorted(r.shingles)
+        for r in Q._shingles_spark(docs).collect()
+    }
+    con = duck.cursor()
+    con.execute("CREATE OR REPLACE TABLE _adv(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO _adv VALUES (?, ?)", rows)
+    sql = Q._SHINGLES_SQL.replace("FROM documents", "FROM _adv")
+    exp = {
+        d: sorted(s)
+        for d, s in con.execute(f"SELECT doc_id, shingles FROM ({sql})").fetchall()
+    }
+    assert got == exp

@@ -217,3 +217,24 @@ def test_sync_check_parity():
         assert otsl_ops.tags_cells_in_sync(tags, n) == ref_otsl.otsl_tags_cells_sync_chk(
             tags, [{}] * n, "t", False
         )
+
+
+@pytest.mark.parametrize(
+    "attr",
+    ['  colspan="2"', ' colspan="2" ', ' colspan="02"', ' colspan="21"',
+     'colspan="2"', ' rowspan="0"'],
+    ids=["two-space", "trailing-space", "zero-padded", "out-of-range",
+         "no-leading-space", "rowspan-zero"],
+)
+def test_malformed_span_tokens_ignored_like_reference(attr):
+    """Non-canonical span attribute tokens are dict-misses in the reference
+    (otsl.py:267-309) — the cell parses as a plain fcel. Assert our ref
+    variant matches the live reference byte-for-byte on such streams."""
+    toks = ["<tr>", "<td", attr, ">", "</td>", "<td>", "</td>", "</tr>",
+            "<tr>", "<td>", "</td>", "<td>", "</td>", "</tr>"]
+    empties = [False] * 4
+    ref = ref_html_to_otsl(toks, empties)
+    ours = otsl_ops.html_to_otsl_ref(toks, empties)
+    assert ours is not None
+    assert ours.tags == ref["html"]["structure"]["tokens"], attr
+    assert {k: v for k, v in ours.spans.items()} == ref["otsl_spans"], attr

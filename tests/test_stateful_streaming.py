@@ -43,19 +43,12 @@ def test_stateful_sessionize_matches_batch(spark, tmp_path):
     # Fence: one far-future event for a sentinel user pushes the watermark
     # past every open session's gap horizon; the next drain flushes them.
     max_ts = batch.agg(F.max("ts")).collect()[0][0]
-    fence = batch.limit(1).select(
-        F.lit(FENCE_USER).cast("long").alias("user_id"),
-        *[
-            (
-                (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("ts")
-                if c == "ts"
-                else F.col(c)
-            )
-            for c in batch.columns
-            if c != "user_id"
-        ],
-    ).select(*batch.columns)
-    fence = fence.withColumn("ts", F.lit(max_ts) + F.expr("INTERVAL 2 HOURS"))
+    fence = (
+        batch.limit(1)
+        .withColumn("user_id", F.lit(FENCE_USER).cast("long"))
+        .withColumn("ts", F.lit(max_ts) + F.expr("INTERVAL 2 HOURS"))
+        .select(*batch.columns)
+    )
     fence.write.mode("append").parquet(ev_dir)
     _drain(spark, batch.schema, ev_dir, out_dir, ckpt)
 
