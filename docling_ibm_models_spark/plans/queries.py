@@ -293,6 +293,58 @@ def events_sessionize(spark, sf_dir):
 
 
 @register(
+    "events_click_purchase_join",
+    oracle="""
+    SELECT p.user_id AS user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           round((epoch_us(p.ts) - epoch_us(c.ts)) / 1000000.0, 6) AS gap_s
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND c.ts <= p.ts
+     AND c.ts >= p.ts - INTERVAL 30 MINUTE
+    ORDER BY user_id, purchase_id, click_id
+    """,
+)
+def events_click_purchase_join(spark, sf_dir):
+    """Batch twin of the watermarked stream-stream attribution join
+    (streaming/stream_join.py): purchases joined to the same user's clicks
+    within the preceding 30 minutes — an event-time range join on the
+    user_id equi-key (one shuffle; the range condition prunes inside each
+    key group, and in the streaming form bounds the state store)."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    gap_us = F.unix_micros(F.col("p_ts")) - F.unix_micros(F.col("c_ts"))
+    return (
+        purchases.join(
+            clicks,
+            (F.col("p_user") == F.col("c_user"))
+            & (F.col("c_ts") <= F.col("p_ts"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES")),
+        )
+        .select(
+            F.col("p_user").alias("user_id"),
+            "click_id",
+            "purchase_id",
+            F.round(gap_us / 1_000_000.0, 6).alias("gap_s"),
+        )
+        .orderBy("user_id", "purchase_id", "click_id")
+    )
+
+
+@register(
     "topk_orders_per_customer",
     oracle="""
     SELECT o_custkey, o_orderkey, o_totalprice FROM (

@@ -126,3 +126,37 @@ def test_stream_dedup_pages(spark, tmp_path):
     pages.write.mode("append").parquet(pages_dir)
     drain()
     assert spark.read.parquet(out_dir).count() == n_hashes
+
+
+def test_stream_stream_attribution_join(spark, tmp_path):
+    """Watermarked stream-stream join equals its oracle-checked batch twin
+    on a bounded drain (both sides watermarked; the time-range condition
+    bounds the state store)."""
+    from docling_ibm_models_spark.plans.queries import QUERIES
+    from docling_ibm_models_spark.streaming.stream_join import attribute_purchases
+
+    ev_batch = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    ev_dir = str(tmp_path / "events_ss")
+    ev_batch.write.parquet(ev_dir)
+    stream = spark.readStream.schema(ev_batch.schema).parquet(ev_dir)
+
+    out_dir = str(tmp_path / "attr")
+    q = (
+        attribute_purchases(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt_ss"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = {
+        (r.user_id, r.click_id, r.purchase_id, r.gap_s)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    expected = {
+        (r.user_id, r.click_id, r.purchase_id, r.gap_s)
+        for r in QUERIES["events_click_purchase_join"](spark, SF_SMALL).collect()
+    }
+    assert got == expected and got, f"{len(got)} vs {len(expected)} attributed pairs"
