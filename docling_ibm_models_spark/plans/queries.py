@@ -506,6 +506,72 @@ def tpch_q14_promo_share(spark, sf_dir):
 
 
 @register(
+    "tpch_q17_small_quantity_revenue",
+    oracle="""
+    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#1'
+      AND l.l_quantity < (
+        SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = l.l_partkey
+      )
+    """,
+)
+def tpch_q17_small_quantity_revenue(spark, sf_dir):
+    """Q17 shape: correlated scalar subquery → decorrelated into a
+    per-part aggregate joined back (Catalyst does the same rewrite for the
+    SQL form; expressing it directly keeps the plan explicit: one partial
+    agg on l_partkey + one broadcastable join, no per-row subquery)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#1")
+    thresholds = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_cap")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(thresholds, li.l_partkey == thresholds.t_partkey)
+        .where(F.col("l_quantity") < F.col("qty_cap"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@register(
+    "tpch_q18_large_orders",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey, o.o_totalprice,
+           sum(l.l_quantity) AS total_qty
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING sum(l_quantity) > 150
+    )
+    GROUP BY o.o_orderkey, o.o_custkey, o.o_totalprice
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    """,
+)
+def tpch_q18_large_orders(spark, sf_dir):
+    """Q18 shape: HAVING-filtered aggregate as a LEFT SEMI join on the
+    grouped key — the pre-aggregation prunes the big join input before the
+    final group-by."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("tq"))
+        .where(F.col("tq") > 150)
+        .select("l_orderkey")
+    )
+    return (
+        o.join(big.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey", "left_semi")
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_custkey", "o_totalprice")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    )
+
+
+@register(
     "customers_without_orders",
     oracle="""
     SELECT n_name, count(*) AS n_customers
