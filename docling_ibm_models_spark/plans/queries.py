@@ -292,6 +292,50 @@ def events_sessionize(spark, sf_dir):
     )
 
 
+_SALT_BUCKETS = 16
+
+
+@register(
+    "events_salted_agg",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value,
+           round(max(value), 4) AS max_value
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def events_salted_agg(spark, sf_dir):
+    """Skew-safe two-phase aggregation, output-equivalent to the direct
+    groupBy the oracle runs: event_type has only 5 values, so a direct
+    shuffle lands each hot key on ONE reducer (the classic straggler at
+    10^12 rows). Phase 1 groups on (event_type, salt = pmod(xxhash64(
+    event_id), 16)) — 16-way fan-out of every hot key, all partial
+    aggregates map-side combined; phase 2 re-aggregates the 5×16 partial
+    rows. Decomposable aggregates only (count/sum/max compose; a median
+    would not)."""
+    ev = _t(spark, sf_dir, "events")
+    salt = F.pmod(F.xxhash64(F.col("event_id")), F.lit(_SALT_BUCKETS))
+    partial = (
+        ev.withColumn("salt", salt)
+        .groupBy("event_type", "salt")
+        .agg(
+            F.count(F.lit(1)).alias("pn"),
+            F.sum("value").alias("psum"),
+            F.max("value").alias("pmax"),
+        )
+    )
+    return (
+        partial.groupBy("event_type")
+        .agg(
+            F.sum("pn").alias("n_events"),
+            F.round(F.sum("psum"), 2).alias("total_value"),
+            F.round(F.max("pmax"), 4).alias("max_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
 @register(
     "events_click_purchase_join",
     oracle="""
