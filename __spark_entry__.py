@@ -48,7 +48,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB oracle SQL per query (same parquet views). Keys absent here
-    (none currently) fall back to the driver's rows-only check."""
+    fall back to the driver's rows-only check — currently exactly two:
+    pipeline_reading_order (its ordering semantics are oracle-checked via
+    reading_order_assembly) and pipeline_table_profile (wall-clock
+    timings, inherently oracle-free)."""
     from docling_ibm_models_spark.plans.queries import ORACLES
 
     return dict(ORACLES)
