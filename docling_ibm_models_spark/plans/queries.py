@@ -292,6 +292,36 @@ def events_sessionize(spark, sf_dir):
     )
 
 
+@register(
+    "corpus_length_quantiles",
+    oracle="""
+    SELECT lang,
+           round(quantile_cont(length(text), 0.5), 4) AS p50,
+           round(quantile_cont(length(text), 0.9), 4) AS p90,
+           round(quantile_cont(length(text), 0.99), 4) AS p99
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def corpus_length_quantiles(spark, sf_dir):
+    """Per-language doc-length percentiles (corpus QA / length-filter
+    threshold tuning): EXACT interpolated percentiles — Spark's
+    percentile() and DuckDB's quantile_cont share the linear-interpolation
+    definition, so results hash-match. At 10^12 docs swap in
+    approx_percentile (t-digest, shuffle-light) and accept the documented
+    error bound; the exact form is the oracle-checkable twin."""
+    docs = _t(spark, sf_dir, "documents")
+    ln = F.length("text")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.round(F.percentile(ln, F.lit(0.5)), 4).alias("p50"),
+            F.round(F.percentile(ln, F.lit(0.9)), 4).alias("p90"),
+            F.round(F.percentile(ln, F.lit(0.99)), 4).alias("p99"),
+        )
+        .orderBy("lang")
+    )
+
+
 _SALT_BUCKETS = 16
 
 
