@@ -1,11 +1,30 @@
 #!/usr/bin/env python
-"""Benchmark harness — prints ONE JSON line for the driver.
+"""Benchmark harness — prints ONE compact JSON line (the LAST stdout line).
 
 Headline metric: end-to-end main-content extraction throughput (pages/sec)
 at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS], plus per-query wall times and the BASELINE.md
-two-parallelism scaling evidence (same job at local[N/4] and local[N];
-efficiency = thr_4N / (4 * thr_N) computed on extraction wall time).
+two-parallelism scaling evidence (same job at local[N] and local[4N]).
+
+Scaling protocol (round 3, per VERDICT.md round-2 item 1):
+  * >=3 INTERLEAVED pass-pairs: each pair runs one small-parallelism
+    invocation immediately followed by one big-parallelism invocation, so
+    a noisy-VM window hits both sides of a pair, not one side of the ratio.
+  * per-pair efficiency = (thr_big_k / thr_small_k) / 4 using each
+    invocation's min-wall pass (throughput capability).
+  * a pair is DISCARDED when the chosen (min-wall) pass on either side saw
+    /proc/stat steal above STEAL_MAX (noisy-neighbor evidence); discards are
+    logged in BENCH_DETAIL.json.
+  * efficiency = MEDIAN of the surviving per-pair efficiencies. If fewer
+    than MIN_CLEAN_PAIRS survive, or the clean spread exceeds 0.15, extra
+    pairs run (up to MAX_PAIRS total).
+
+Output hygiene: the driver records only the last 2000 chars of stdout and
+parses the final line as JSON (BENCH_r02 was truncated at ~2100 chars =>
+"parsed": null). The final line is therefore compact (separators, 2-decimal
+walls, no per-pass arrays) and asserted < 1900 chars; the full detail
+(per-pass walls, steal fractions, per-pair ratios, discards) is written to
+BENCH_DETAIL.json next to this file and echoed to stderr.
 
 Generation of the synthetic pages table is charged to a separate producer
 job (materialized to /tmp parquet) so the timed stage is scan →
@@ -17,10 +36,23 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import subprocess
 import sys
 import tempfile
 import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+REPLICAS = int(os.environ.get("BENCH_PAGE_REPLICAS", "16"))
+STEAL_MAX = float(os.environ.get("BENCH_STEAL_MAX", "0.03"))
+MIN_CLEAN_PAIRS = int(os.environ.get("BENCH_MIN_CLEAN_PAIRS", "3"))
+MAX_PAIRS = int(os.environ.get("BENCH_MAX_PAIRS", "6"))
+SPREAD_MAX = 0.15  # rerun trigger: clean-pair efficiency spread above this
+
+
+def _log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
 
 
 def _cpu_ticks() -> tuple[int, int]:
@@ -34,10 +66,6 @@ def _cpu_ticks() -> tuple[int, int]:
         return user + nice + system, steal
     except Exception:
         return 0, 0
-
-SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-REPLICAS = int(os.environ.get("BENCH_PAGE_REPLICAS", "16"))
 
 
 def _spark(master: str, shuffle: int):
@@ -79,7 +107,7 @@ def worker(master: str, pages_path: str, out_path: str, task_cpus: int = 1) -> d
     pages = spark.read.parquet(pages_path)
     # Warmup: one full untimed pass so every long-lived python worker has
     # imported pandas/pyarrow and the OS page cache holds the input. The
-    # timed pass then measures steady-state throughput — the regime the
+    # timed passes then measure steady-state throughput — the regime the
     # north-rule metric is defined over (10^12-doc table, long-lived
     # executors). Cold-start cost is reported separately.
     t_cold0 = time.monotonic()
@@ -97,19 +125,20 @@ def worker(master: str, pages_path: str, out_path: str, task_cpus: int = 1) -> d
         w = time.monotonic() - t0
         b1, s1 = _cpu_ticks()
         walls.append(w)
-        # stolen fraction of this pass's machine-time (100 ticks/s, 32 cpus)
+        # stolen fraction of this pass's machine-time (100 ticks/s, all cpus)
         steals.append(round((s1 - s0) / max(1.0, w * 100 * os.cpu_count()), 4))
-    # min of 3: throughput-capability measure — this shared VM shows
+    # min of passes: throughput-capability measure — this shared VM shows
     # sporadic multi-second stalls (noisy neighbor/steal); min treats both
     # sides of the scaling ratio identically
-    wall = min(walls)
+    i_min = min(range(len(walls)), key=lambda i: walls[i])
     n = spark.read.parquet(out_path).count()
     chars = spark.read.parquet(out_path).agg(F.sum("n_chars")).collect()[0][0]
     spark.stop()
     return {
         "master": master,
         "task_cpus": task_cpus,
-        "wall_s": wall,
+        "wall_s": walls[i_min],
+        "steal_at_min": steals[i_min],
         "walls": [round(w, 3) for w in walls],
         "steal_frac": steals,
         "cold_start_s": round(cold_s, 3),
@@ -130,6 +159,84 @@ def run_worker_subprocess(master: str, pages_path: str, task_cpus: int = 1) -> d
     if res.returncode != 0:
         raise RuntimeError(f"worker {master} failed:\n{res.stderr[-3000:]}")
     return json.loads(res.stdout.strip().splitlines()[-1])
+
+
+def run_scaling(pages_path: str, n_pages: int, small: int, big: int) -> tuple[dict, dict]:
+    """Interleaved pass-pairs with steal-discard and median-of-ratios.
+
+    Returns (compact_summary, full_detail)."""
+    passes = int(os.environ.get("BENCH_SCALING_PASSES", "3"))
+    pairs: list[dict] = []
+
+    def run_pair(k: int) -> dict:
+        env_passes = os.environ.get("BENCH_TIMED_PASSES")
+        os.environ["BENCH_TIMED_PASSES"] = str(passes)
+        try:
+            r_s = run_worker_subprocess(f"local[{small}]", pages_path)
+            r_b = run_worker_subprocess(f"local[{big}]", pages_path)
+        finally:
+            if env_passes is None:
+                os.environ.pop("BENCH_TIMED_PASSES", None)
+            else:
+                os.environ["BENCH_TIMED_PASSES"] = env_passes
+        thr_s = n_pages / r_s["wall_s"]
+        thr_b = n_pages / r_b["wall_s"]
+        eff = thr_b / thr_s / (big / small)
+        steal = max(r_s["steal_at_min"], r_b["steal_at_min"])
+        clean = steal <= STEAL_MAX
+        p = {
+            "pair": k,
+            "wall_small": round(r_s["wall_s"], 3),
+            "wall_big": round(r_b["wall_s"], 3),
+            "walls_small": r_s["walls"],
+            "walls_big": r_b["walls"],
+            "steal_small": r_s["steal_frac"],
+            "steal_big": r_b["steal_frac"],
+            "thr_small": round(thr_s, 1),
+            "thr_big": round(thr_b, 1),
+            "efficiency": round(eff, 4),
+            "steal_at_min": steal,
+            "clean": clean,
+            "chars": [r_s["chars"], r_b["chars"]],
+        }
+        _log(f"[scaling] pair {k}: small {p['wall_small']}s big {p['wall_big']}s "
+             f"eff {p['efficiency']} steal {steal} clean={clean}")
+        return p
+
+    k = 0
+    while k < MAX_PAIRS:
+        pairs.append(run_pair(k))
+        k += 1
+        clean = [p for p in pairs if p["clean"]]
+        effs = sorted(p["efficiency"] for p in clean)
+        if k >= MIN_CLEAN_PAIRS and len(clean) >= MIN_CLEAN_PAIRS:
+            if effs[-1] - effs[0] <= SPREAD_MAX:
+                break
+            _log(f"[scaling] clean spread {effs[-1] - effs[0]:.3f} > {SPREAD_MAX}; extra pair")
+    clean = [p for p in pairs if p["clean"]]
+    used = clean if len(clean) >= 1 else pairs  # degenerate: all noisy — use all
+    efficiency = statistics.median(p["efficiency"] for p in used)
+    # representative throughputs: the pair whose efficiency is the median
+    mid = min(used, key=lambda p: abs(p["efficiency"] - efficiency))
+    summary = {
+        "cores_small": small,
+        "cores_big": big,
+        "pages_per_sec_small": mid["thr_small"],
+        "pages_per_sec_big": mid["thr_big"],
+        "efficiency": round(efficiency, 3),
+        "pairs": len(pairs),
+        "clean_pairs": len(clean),
+        "pair_effs": [p["efficiency"] for p in pairs],
+    }
+    detail = {
+        "protocol": "median of per-pair efficiencies over interleaved pass-pairs; "
+        f"pair discarded when min-wall pass steal > {STEAL_MAX}",
+        "passes_per_invocation": passes,
+        "pairs": pairs,
+        "discarded": [p["pair"] for p in pairs if not p["clean"]],
+        "efficiency_median_clean": round(efficiency, 4),
+    }
+    return summary, detail
 
 
 def run_extra_queries() -> dict[str, float]:
@@ -180,70 +287,56 @@ def main() -> None:
     # from its own node-local ceilings). Headline run uses the full machine.
     small = max(1, CPUS // 16)
     big = max(2, CPUS // 4)
-    # Interleave small/big invocations: this VM shows minutes-long noisy
-    # windows, so a single unlucky invocation would poison one side of the
-    # scaling ratio. Two invocations per side, min wall across them.
-    runs: dict[int, list[dict]] = {small: [], big: []}
-    fulls: list[dict] = []
-    for _ in range(2):
-        runs[small].append(run_worker_subprocess(f"local[{small}]", pages_path))
-        runs[big].append(run_worker_subprocess(f"local[{big}]", pages_path))
-        # full-machine headline also gets two interleaved invocations — a
-        # single one can land entirely inside a noisy window
-        fulls.append(run_worker_subprocess(f"local[{CPUS}]", pages_path, task_cpus=2))
-    r_full = min(fulls, key=lambda r: r["wall_s"])
-    r_full["walls"] = [w for r in fulls for w in r["walls"]]
-    r_full["steal_frac"] = [s for r in fulls for s in r["steal_frac"]]
+    scaling, detail = run_scaling(pages_path, n_pages, small, big)
 
-    wall_small = min(r["wall_s"] for r in runs[small])
-    wall_big = min(r["wall_s"] for r in runs[big])
-    r_small = {"wall_s": wall_small, "all": [r["walls"] for r in runs[small]],
-               "steal": [r.get("steal_frac") for r in runs[small]]}
-    r_big = {"wall_s": wall_big, "all": [r["walls"] for r in runs[big]],
-             "steal": [r.get("steal_frac") for r in runs[big]]}
-    thr_small = n_pages / wall_small
-    thr_big = n_pages / wall_big
+    # full-machine headline: two interleaved invocations — a single one can
+    # land entirely inside a noisy window
+    fulls = [run_worker_subprocess(f"local[{CPUS}]", pages_path, task_cpus=2) for _ in range(2)]
+    r_full = min(fulls, key=lambda r: r["wall_s"])
     thr_full = n_pages / r_full["wall_s"]
-    efficiency = thr_big / (4.0 * thr_small)
+    detail["full"] = {
+        "walls": [w for r in fulls for w in r["walls"]],
+        "steal": [s for r in fulls for s in r["steal_frac"]],
+        "cold_start_s": [r["cold_start_s"] for r in fulls],
+    }
     # determinism across parallelism levels: identical total output chars
-    all_chars = {r["chars"] for rs in runs.values() for r in rs} | {r_full["chars"]}
+    all_chars = {c for p in detail["pairs"] for c in p["chars"]} | {r["chars"] for r in fulls}
     identical_outputs = len(all_chars) == 1
 
     queries = {
-        "extract_local_small": round(r_small["wall_s"], 3),
-        "extract_local_big": round(r_big["wall_s"], 3),
-        "extract_local_full": round(r_full["wall_s"], 3),
+        "extract_local_small": round(min(p["wall_small"] for p in detail["pairs"]), 2),
+        "extract_local_big": round(min(p["wall_big"] for p in detail["pairs"]), 2),
+        "extract_local_full": round(r_full["wall_s"], 2),
     }
-    queries.update(run_extra_queries())
+    queries.update({k: round(v, 2) for k, v in run_extra_queries().items()})
 
-    print(
-        json.dumps(
-            {
-                "metric": "pages_per_sec_extraction",
-                "value": round(thr_full, 2),
-                "unit": "pages/sec",
-                "queries": queries,
-                "sf": SF_DIR,
-                "pages": n_pages,
-                "scaling": {
-                    "cores_small": small,
-                    "cores_big": big,
-                    "cores_full": CPUS,
-                    "pages_per_sec_small": round(thr_small, 2),
-                    "pages_per_sec_big": round(thr_big, 2),
-                    "pages_per_sec_full": round(thr_full, 2),
-                    "efficiency": round(efficiency, 3),
-                    "walls_small": r_small["all"],
-                    "walls_big": r_big["all"],
-                    "walls_full": r_full["walls"],
-                    "steal_small": r_small["steal"],
-                    "steal_big": r_big["steal"],
-                    "steal_full": r_full.get("steal_frac"),
-                    "identical_outputs_across_parallelism": identical_outputs,
-                },
-            }
-        )
-    )
+    scaling["cores_full"] = CPUS
+    scaling["pages_per_sec_full"] = round(thr_full, 1)
+    scaling["identical"] = identical_outputs
+    result = {
+        "metric": "pages_per_sec_extraction",
+        "value": round(thr_full, 2),
+        "unit": "pages/sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "pages": n_pages,
+        "scaling": scaling,
+    }
+    detail["result"] = result
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1)
+    _log(f"[bench] full detail written to {detail_path}")
+    _log(json.dumps(detail["pairs"], indent=None))
+
+    line = json.dumps(result, separators=(",", ":"))
+    # The driver keeps only the last 2000 chars of stdout; the final line
+    # must survive that window intact.
+    if len(line) > 1900:
+        _log(f"[bench] WARNING compact line {len(line)} chars > 1900; trimming pair_effs")
+        result["scaling"].pop("pair_effs", None)
+        line = json.dumps(result, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

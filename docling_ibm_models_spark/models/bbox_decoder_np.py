@@ -1,0 +1,247 @@
+"""M5 BBoxDecoder + shared CNN input filter as REAL numpy forwards.
+
+From-scratch, vectorized re-expression of the reference bbox decoder's
+inference math (reference: docling_ibm_models/tableformer/models/table04_rs/
+bbox_decoder_rs.py:18-168 — CellAttention + gating + 3-layer MLP bbox head +
+linear class head; and utils.py:116-124 resnet_block = the `_input_filter`
+shared by the tag transformer, transformer_rs.py:171-177). The reference
+loops over cells one at a time; this forward batches all cells in single
+matmuls — the shape that runs inside an Arrow batch on an executor.
+
+Parity: tests/test_bbox_decoder_np.py executes the REFERENCE BBoxDecoder
+class itself under the computing fake-torch (tests/torch_np.py) with shared
+seeded synthetic weights and asserts near-bitwise (rtol 1e-10) equality of
+(classes, boxes) on randomized inputs.
+
+Weights are plain numpy arrays (dict tree) — at cluster scale they come off
+the released safetensors checkpoint and ride the same int8-quantized
+broadcast as the other model constants (models/harness.py); here they are
+deterministic seeded synthetics because the container has no weights and no
+network.
+
+Also hosts the M3 pre-transformer pieces that are portable without a torch
+runtime: the sinusoidal PositionalEncoding table (transformer_rs.py:18-35)
+and the embedding+positional target prep (transformer_rs.py:198).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+BN_EPS = 1e-5
+
+
+# ---------------------------------------------------------------------------
+# primitives (exact float64; public conv/BN semantics)
+# ---------------------------------------------------------------------------
+def conv2d(x: np.ndarray, w: np.ndarray, stride: int = 1, padding: int = 0) -> np.ndarray:
+    """Cross-correlation, NCHW, no bias (both convs in the block are bias-free)."""
+    n, c, h, wd = x.shape
+    oc, ic, kh, kw = w.shape
+    xp = np.pad(x, ((0, 0), (0, 0), (padding, padding), (padding, padding)))
+    oh = (h + 2 * padding - kh) // stride + 1
+    ow = (wd + 2 * padding - kw) // stride + 1
+    out = np.zeros((n, oc, oh, ow), dtype=np.float64)
+    for i in range(kh):
+        for j in range(kw):
+            patch = xp[:, :, i : i + oh * stride : stride, j : j + ow * stride : stride]
+            out += np.einsum("ncij,oc->noij", patch, w[:, :, i, j])
+    return out
+
+
+def batchnorm2d(x: np.ndarray, bn: dict) -> np.ndarray:
+    """Eval-mode BN over NCHW channel axis."""
+    scale = bn["weight"] / np.sqrt(bn["running_var"] + BN_EPS)
+    shift = bn["bias"] - bn["running_mean"] * scale
+    return x * scale[None, :, None, None] + shift[None, :, None, None]
+
+
+def _linear(x: np.ndarray, lw: dict) -> np.ndarray:
+    return x @ lw["w"].T + lw["b"]
+
+
+def _basic_block(x: np.ndarray, b: dict, stride: int) -> np.ndarray:
+    """torchvision BasicBlock eval forward (conv3x3-bn-relu-conv3x3-bn +
+    residual [1x1-conv-bn downsample when present] - relu)."""
+    out = conv2d(x, b["conv1"], stride=stride, padding=1)
+    out = batchnorm2d(out, b["bn1"])
+    out = np.maximum(out, 0.0)
+    out = conv2d(out, b["conv2"], stride=1, padding=1)
+    out = batchnorm2d(out, b["bn2"])
+    identity = x
+    if "down_conv" in b:
+        identity = batchnorm2d(conv2d(x, b["down_conv"], stride=stride), b["down_bn"])
+    return np.maximum(out + identity, 0.0)
+
+
+def resnet_block_forward(x_nchw: np.ndarray, w: dict, stride: int = 1) -> np.ndarray:
+    """The shared `_input_filter` (utils.py:116-124): BasicBlock(256→512,
+    stride, 1x1 downsample) → BasicBlock(512→512, 1)."""
+    x = _basic_block(x_nchw, w["b1"], stride=stride)
+    return _basic_block(x, w["b2"], stride=1)
+
+
+# ---------------------------------------------------------------------------
+# M5: bbox decoder inference (vectorized over cells)
+# ---------------------------------------------------------------------------
+def bbox_inference(
+    w: dict, encoder_out_nhwc: np.ndarray, tag_H: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Reference ``BBoxDecoder.inference`` (bbox_decoder_rs.py:131-168),
+    all cells in one pass.
+
+    encoder_out_nhwc: (1, H, W, 256) CNN feature map (pre input-filter).
+    tag_H: (num_cells, tag_decoder_dim) — the per-cell tag-decoder hidden
+    states the predict loop buffers (tablemodel04_rs.py:236,248).
+    Returns (classes (n, num_classes+1) logits, boxes (n, 4) sigmoid cxcywh).
+    """
+    x = np.transpose(encoder_out_nhwc, (0, 3, 1, 2))
+    x = resnet_block_forward(x, w["input_filter"])
+    x = np.transpose(x, (0, 2, 3, 1))
+    enc = x.reshape(-1, x.shape[-1])  # (num_pixels, 512)
+
+    n = int(tag_H.shape[0])
+    if n == 0:
+        return np.empty((0,)), np.empty((0,))
+
+    # h0 is cell-independent: init from mean-pooled encoding (ref :122-125)
+    h0 = _linear(enc.mean(axis=0), w["init_h"])  # (512,)
+
+    att1 = _linear(enc, w["att_enc"])  # (pix, A)
+    att2 = _linear(np.asarray(tag_H, dtype=np.float64), w["att_tag"])  # (n, A)
+    att3 = _linear(h0, w["att_lang"])  # (A,)
+    pre = np.maximum(att1[None, :, :] + att2[:, None, :] + att3[None, None, :], 0.0)
+    att = pre @ w["att_full"]["w"].T + w["att_full"]["b"]  # (n, pix, 1)
+    att = att[..., 0]
+    att -= att.max(axis=1, keepdims=True)
+    e = np.exp(att)
+    alpha = e / e.sum(axis=1, keepdims=True)  # (n, pix)
+
+    awe = alpha @ enc  # (n, 512)
+    gate = 1.0 / (1.0 + np.exp(-_linear(h0, w["f_beta"])))  # (512,)
+    h = (gate * awe) * h0  # (n, 512)
+
+    y = h
+    for i, layer in enumerate(w["bbox_mlp"]):
+        y = _linear(y, layer)
+        if i < len(w["bbox_mlp"]) - 1:
+            y = np.maximum(y, 0.0)
+    boxes = 1.0 / (1.0 + np.exp(-y))  # (n, 4) sigmoid cxcywh
+    classes = _linear(h, w["class_embed"])  # (n, num_classes+1)
+    return classes, boxes
+
+
+# ---------------------------------------------------------------------------
+# M3 pre-transformer pieces (transformer_rs.py:18-35, 171-185, 198)
+# ---------------------------------------------------------------------------
+def positional_encoding_table(d_model: int, max_len: int = 1024) -> np.ndarray:
+    """The reference PositionalEncoding buffer: (max_len, 1, d_model)."""
+    pe = np.zeros((max_len, d_model), dtype=np.float64)
+    position = np.arange(0, max_len, dtype=np.float64)[:, None]
+    div_term = np.exp(np.arange(0, d_model, 2, dtype=np.float64) * (-math.log(10000.0) / d_model))
+    pe[:, 0::2] = np.sin(position * div_term)
+    pe[:, 1::2] = np.cos(position * div_term)
+    return pe[:, None, :]
+
+
+def encoder_input_prep(w: dict, enc_inputs_nhwc: np.ndarray) -> np.ndarray:
+    """Tag_Transformer.inference pre-encoder pipeline
+    (transformer_rs.py:175-185): input filter → NHWC → flatten →
+    (positions, batch, dim). The 4-layer nn.TransformerEncoder that consumes
+    this remains environment-stubbed (torch library code, no weights)."""
+    x = np.transpose(enc_inputs_nhwc, (0, 3, 1, 2))
+    x = resnet_block_forward(x, w["input_filter"])
+    x = np.transpose(x, (0, 2, 3, 1))
+    b = x.shape[0]
+    d = x.shape[-1]
+    return np.transpose(x.reshape(b, -1, d), (1, 0, 2))
+
+
+def embed_with_positions(embedding: np.ndarray, pe: np.ndarray, tag_ids: np.ndarray) -> np.ndarray:
+    """tgt prep (transformer_rs.py:198): embedding lookup → (seq, batch,
+    dim) → + positional table (eval-mode dropout = identity)."""
+    emb = embedding[np.asarray(tag_ids, dtype=np.int64)]  # (batch, seq, dim)
+    tgt = np.transpose(emb, (1, 0, 2))
+    return tgt + pe[: tgt.shape[0], :]
+
+
+# ---------------------------------------------------------------------------
+# synthetic seeded weights (no checkpoint in-container)
+# ---------------------------------------------------------------------------
+def _lin_w(rng, out_f, in_f, scale=None):
+    s = scale if scale is not None else 1.0 / math.sqrt(in_f)
+    return {"w": rng.normal(0.0, s, (out_f, in_f)), "b": rng.normal(0.0, 0.01, out_f)}
+
+
+def _bn_w(rng, ch):
+    return {
+        "weight": rng.uniform(0.8, 1.2, ch),
+        "bias": rng.normal(0.0, 0.05, ch),
+        "running_mean": rng.normal(0.0, 0.05, ch),
+        "running_var": rng.uniform(0.5, 1.5, ch),
+    }
+
+
+def synthetic_weights(
+    seed: int = 7,
+    encoder_dim: int = 512,
+    in_ch: int = 256,
+    attention_dim: int = 64,
+    tag_decoder_dim: int = 512,
+    decoder_dim: int = 512,
+    num_classes: int = 2,
+) -> dict:
+    """Deterministic stand-in for the released checkpoint. Conv weights are
+    scaled by 1/sqrt(9*fan_in) to keep post-BN activations O(1).
+
+    The class/bbox heads take ``decoder_dim`` inputs (the reference hardcodes
+    512 there because its decoder_dim is always 512 — bbox_decoder_rs.py:
+    120-121); parity tests use the reference dims, the production stub a
+    smaller config (dims are checkpoint config, the math is what's ported)."""
+    rng = np.random.default_rng(seed)
+
+    def conv_w(oc, ic, k):
+        return rng.normal(0.0, 1.0 / math.sqrt(k * k * ic), (oc, ic, k, k))
+
+    return {
+        "input_filter": {
+            "b1": {
+                "conv1": conv_w(encoder_dim, in_ch, 3),
+                "bn1": _bn_w(rng, encoder_dim),
+                "conv2": conv_w(encoder_dim, encoder_dim, 3),
+                "bn2": _bn_w(rng, encoder_dim),
+                "down_conv": conv_w(encoder_dim, in_ch, 1),
+                "down_bn": _bn_w(rng, encoder_dim),
+            },
+            "b2": {
+                "conv1": conv_w(encoder_dim, encoder_dim, 3),
+                "bn1": _bn_w(rng, encoder_dim),
+                "conv2": conv_w(encoder_dim, encoder_dim, 3),
+                "bn2": _bn_w(rng, encoder_dim),
+            },
+        },
+        # Scale choices matter for synthetic weights: the per-cell attention
+        # terms (att2/att3) are constant across pixels, so cells only
+        # differentiate through ReLU clipping + softmax sharpness — trained
+        # checkpoints live in that regime, while 1/sqrt(fan_in) random
+        # weights collapse to near-uniform attention and identical boxes for
+        # every cell. The boosted scales (attention logit std ~4 → peaky
+        # softmax on cell-dependent pixels; init_h/MLP gains → sigmoid
+        # outputs spanning ~[0.02, 0.97]) were tuned empirically to yield
+        # diverse, non-saturated boxes. Parity vs the reference holds for
+        # ANY weights — these choices affect only stub output diversity.
+        "att_enc": _lin_w(rng, attention_dim, encoder_dim, scale=4.0 / math.sqrt(encoder_dim)),
+        "att_tag": _lin_w(rng, attention_dim, tag_decoder_dim, scale=8.0 / math.sqrt(tag_decoder_dim)),
+        "att_lang": _lin_w(rng, attention_dim, decoder_dim),
+        "att_full": _lin_w(rng, 1, attention_dim, scale=16.0 / math.sqrt(attention_dim)),
+        "init_h": _lin_w(rng, decoder_dim, encoder_dim, scale=4.0 / math.sqrt(encoder_dim)),
+        "f_beta": _lin_w(rng, encoder_dim, decoder_dim),
+        "class_embed": _lin_w(rng, num_classes + 1, decoder_dim),
+        "bbox_mlp": [
+            _lin_w(rng, decoder_dim // 2, decoder_dim, scale=2.0 / math.sqrt(decoder_dim)),
+            _lin_w(rng, decoder_dim // 2, decoder_dim // 2, scale=2.0 / math.sqrt(decoder_dim // 2)),
+            _lin_w(rng, 4, decoder_dim // 2, scale=12.0 / math.sqrt(decoder_dim // 2)),
+        ],
+    }

@@ -1949,7 +1949,8 @@ def _layout_clusters_df(spark, sf_dir):
 # stub changes with tools/regen_pipeline_sigs.py (rewrites this dict).
 _PINNED_SIGS = {
     "pipeline_layout_clusters": (1103, "d5b36eae5d9454367e840d40e7798c55"),
-    "pipeline_table_cells": (104, "b827b34679b6382ef8e4141ed7be1028"),
+    "pipeline_table_cells": (104, "da3d190d921580e40734bbe7ef8a2184"),
+    "pipeline_reading_order": (595, "0b4af5e60ff2719aaf0319b2d8cbec11"),
 }
 
 _SIG_ORACLE = "SELECT {n}::BIGINT AS n_rows, '{sig}' AS sig"
@@ -2004,10 +2005,7 @@ def pipeline_table_cells(spark, sf_dir):
     return _signature(df, sorted(df.columns))
 
 
-@register("pipeline_reading_order")
-def pipeline_reading_order(spark, sf_dir):
-    """Synthetic multi-column layouts → grouped reading-order stage →
-    ranked elements (graph algorithm; rows-only check)."""
+def _reading_order_df(spark):
     from docling_ibm_models_spark import schemas
     from docling_ibm_models_spark.pipeline.doc_assembly import order_elements
     from docling_ibm_models_spark.sources.elements_source import (
@@ -2028,7 +2026,24 @@ def pipeline_reading_order(spark, sf_dir):
     df = spark.createDataFrame(rows, schema=schemas.PAGE_ELEMENT)
     return order_elements(df, num_partitions=4).select(
         "url", "cid", "label", "reading_rank"
-    ).orderBy("url", "reading_rank")
+    )
+
+
+@register(
+    "pipeline_reading_order",
+    oracle=_SIG_ORACLE.format(
+        n=_PINNED_SIGS["pipeline_reading_order"][0],
+        sig=_PINNED_SIGS["pipeline_reading_order"][1],
+    ),
+)
+def pipeline_reading_order(spark, sf_dir):
+    """Synthetic multi-column layouts → grouped reading-order stage (O1, a
+    graph algorithm with TRUE parity vs the imported reference module) →
+    canonical signature of the ranked elements (golden pinned; determinism
+    gate across runs and parallelism — same mechanism as
+    pipeline_layout_clusters)."""
+    df = _reading_order_df(spark)
+    return _signature(df, ["url", "cid", "label", "reading_rank"])
 
 
 @register(

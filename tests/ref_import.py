@@ -27,6 +27,20 @@ class _FakeClass:
     def __init__(self, *a, **k):
         pass
 
+    def __call__(self, *a, **k):
+        # nn.Module dispatch: reference submodules created with the
+        # computing fake-torch (tests/torch_np.py) are invoked as callables
+        return self.forward(*a, **k)
+
+    def register_buffer(self, name, t):
+        setattr(self, name, t)
+
+    def to(self, *a, **k):
+        return self
+
+    def eval(self):
+        return self
+
 
 class _FakeLoader(importlib.abc.Loader):
     def create_module(self, spec):

@@ -1,0 +1,416 @@
+"""Computing fake-torch: a numpy-backed mini implementation of exactly the
+torch / torch.nn / torchvision surface that the REFERENCE's BBoxDecoder
+(bbox_decoder_rs.py:18-168), utils.resnet_block/MLP (utils.py:116-124,
+260-274) and PositionalEncoding (transformer_rs.py:18-35) touch at
+construction + inference time.
+
+Unlike tests/fake_torch_rs.py (which replays prescribed streams to drive the
+predict() CONTROL FLOW), this module actually COMPUTES: Linear is a real
+matmul, Conv2d a real convolution, BatchNorm2d the real eval-mode transform.
+Reference classes instantiated with these primitives (their module globals
+monkeypatched) therefore produce real numeric outputs that the repo's
+from-scratch numpy forwards (models/bbox_decoder_np.py) are parity-tested
+against — reference code executing, not a reimplementation judging itself.
+
+All math is float64 (numpy default) on both sides, so parity asserts can be
+near-bitwise (rtol 1e-10).
+"""
+
+from __future__ import annotations
+
+import math
+import types
+
+import numpy as np
+
+
+class Tensor:
+    """Minimal ndarray wrapper with the torch methods the reference uses."""
+
+    def __init__(self, data):
+        self.a = np.asarray(data, dtype=np.float64)
+
+    # --- shape ops -------------------------------------------------------
+    def permute(self, *dims):
+        return Tensor(np.transpose(self.a, dims))
+
+    def transpose(self, d0, d1):
+        return Tensor(np.swapaxes(self.a, d0, d1))
+
+    def view(self, *shape):
+        return Tensor(self.a.reshape(shape))
+
+    def reshape(self, *shape):
+        return Tensor(self.a.reshape(shape))
+
+    def unsqueeze(self, dim):
+        return Tensor(np.expand_dims(self.a, dim))
+
+    def squeeze(self, dim=None):
+        return Tensor(np.squeeze(self.a, axis=dim) if dim is not None else np.squeeze(self.a))
+
+    def expand(self, *sizes):
+        shape = [self.a.shape[i] if s == -1 else s for i, s in enumerate(sizes)]
+        return Tensor(np.broadcast_to(self.a, shape).copy())
+
+    def size(self, dim=None):
+        return self.a.shape if dim is None else self.a.shape[dim]
+
+    @property
+    def shape(self):
+        return self.a.shape
+
+    def to(self, *a, **k):
+        return self
+
+    def float(self):
+        return self
+
+    def detach(self):
+        return self
+
+    def cpu(self):
+        return self
+
+    def numpy(self):
+        return self.a
+
+    def tolist(self):
+        return self.a.tolist()
+
+    def __len__(self):
+        return self.a.shape[0]
+
+    def __getitem__(self, idx):
+        out = self.a[idx]
+        return Tensor(out) if isinstance(out, np.ndarray) else out
+
+    def __setitem__(self, idx, value):
+        self.a[idx] = value.a if isinstance(value, Tensor) else value
+
+    # --- arithmetic -------------------------------------------------------
+    def _other(self, o):
+        return o.a if isinstance(o, Tensor) else o
+
+    def __add__(self, o):
+        return Tensor(self.a + self._other(o))
+
+    __radd__ = __add__
+
+    def __sub__(self, o):
+        return Tensor(self.a - self._other(o))
+
+    def __mul__(self, o):
+        return Tensor(self.a * self._other(o))
+
+    __rmul__ = __mul__
+
+    def __truediv__(self, o):
+        return Tensor(self.a / self._other(o))
+
+    def __neg__(self):
+        return Tensor(-self.a)
+
+    # --- reductions / activations ----------------------------------------
+    def mean(self, dim=None):
+        return Tensor(self.a.mean(axis=dim))
+
+    def sum(self, dim=None):
+        return Tensor(self.a.sum(axis=dim))
+
+    def sigmoid(self):
+        return Tensor(1.0 / (1.0 + np.exp(-self.a)))
+
+    def exp(self):
+        return Tensor(np.exp(self.a))
+
+
+def tensor(data, dtype=None, device=None):
+    return Tensor(data)
+
+
+def zeros(*shape, device=None, dtype=None):
+    if len(shape) == 1 and isinstance(shape[0], (tuple, list)):
+        shape = tuple(shape[0])
+    return Tensor(np.zeros(shape))
+
+
+def ones(*shape, device=None, dtype=None):
+    if len(shape) == 1 and isinstance(shape[0], (tuple, list)):
+        shape = tuple(shape[0])
+    return Tensor(np.ones(shape))
+
+
+def empty(*shape):
+    if len(shape) == 1 and isinstance(shape[0], (tuple, list)):
+        shape = tuple(shape[0])
+    return Tensor(np.empty(shape))
+
+
+def arange(start, end=None, step=1, dtype=None):
+    a = np.arange(start) if end is None else np.arange(start, end, step)
+    return Tensor(a.astype(np.float64))
+
+
+def stack(tensors, dim=0):
+    return Tensor(np.stack([t.a if isinstance(t, Tensor) else np.asarray(t) for t in tensors], axis=dim))
+
+
+def sin(t):
+    return Tensor(np.sin(t.a))
+
+
+def cos(t):
+    return Tensor(np.cos(t.a))
+
+
+def exp(t):
+    return Tensor(np.exp(t.a))
+
+
+def sigmoid(t):
+    return t.sigmoid()
+
+
+# ---------------------------------------------------------------------------
+# nn
+# ---------------------------------------------------------------------------
+class Module:
+    def __call__(self, *a, **k):
+        return self.forward(*a, **k)
+
+    def __init__(self, *a, **k):
+        pass
+
+    def eval(self):
+        return self
+
+    def train(self, mode=True):
+        return self
+
+    def to(self, *a, **k):
+        return self
+
+    def register_buffer(self, name, t):
+        setattr(self, name, t)
+
+
+class Linear(Module):
+    """weight: (out, in) — assign numpy arrays directly for seeded tests."""
+
+    def __init__(self, in_features, out_features, bias=True):
+        self.in_features = in_features
+        self.out_features = out_features
+        self.weight = np.zeros((out_features, in_features))
+        self.bias = np.zeros(out_features) if bias else None
+
+    def forward(self, x):
+        y = x.a @ self.weight.T
+        if self.bias is not None:
+            y = y + self.bias
+        return Tensor(y)
+
+
+class ReLU(Module):
+    def __init__(self, inplace=False):
+        pass
+
+    def forward(self, x):
+        return Tensor(np.maximum(x.a, 0.0))
+
+
+class Sigmoid(Module):
+    def forward(self, x):
+        return x.sigmoid()
+
+
+class Softmax(Module):
+    def __init__(self, dim=None):
+        self.dim = dim
+
+    def forward(self, x):
+        m = x.a.max(axis=self.dim, keepdims=True)
+        e = np.exp(x.a - m)
+        return Tensor(e / e.sum(axis=self.dim, keepdims=True))
+
+
+class Dropout(Module):
+    """Eval-mode (inference) dropout: identity."""
+
+    def __init__(self, p=0.5, inplace=False):
+        self.p = p
+
+    def forward(self, x):
+        return x
+
+
+class Sequential(Module):
+    def __init__(self, *mods):
+        self.mods = list(mods)
+
+    def forward(self, x):
+        for m in self.mods:
+            x = m(x)
+        return x
+
+    def __iter__(self):
+        return iter(self.mods)
+
+    def __getitem__(self, i):
+        return self.mods[i]
+
+
+class ModuleList(Module):
+    def __init__(self, mods=()):
+        self.mods = list(mods)
+
+    def __iter__(self):
+        return iter(self.mods)
+
+    def __getitem__(self, i):
+        return self.mods[i]
+
+    def __len__(self):
+        return len(self.mods)
+
+
+class BatchNorm2d(Module):
+    """Eval-mode BN: (x - running_mean) / sqrt(running_var + eps) * w + b."""
+
+    def __init__(self, num_features, eps=1e-5, **k):
+        self.num_features = num_features
+        self.eps = eps
+        self.weight = np.ones(num_features)
+        self.bias = np.zeros(num_features)
+        self.running_mean = np.zeros(num_features)
+        self.running_var = np.ones(num_features)
+
+    def forward(self, x):
+        # x: (N, C, H, W)
+        scale = self.weight / np.sqrt(self.running_var + self.eps)
+        shift = self.bias - self.running_mean * scale
+        return Tensor(x.a * scale[None, :, None, None] + shift[None, :, None, None])
+
+
+def _conv2d(x, w, stride, padding):
+    """Exact float64 2-D convolution (cross-correlation, torch semantics)."""
+    n, c, h, wd = x.shape
+    oc, ic, kh, kw = w.shape
+    xp = np.pad(x, ((0, 0), (0, 0), (padding, padding), (padding, padding)))
+    oh = (h + 2 * padding - kh) // stride + 1
+    ow = (wd + 2 * padding - kw) // stride + 1
+    out = np.zeros((n, oc, oh, ow))
+    for i in range(kh):
+        for j in range(kw):
+            patch = xp[:, :, i : i + oh * stride : stride, j : j + ow * stride : stride]
+            out += np.einsum("ncij,oc->noij", patch, w[:, :, i, j])
+    return out
+
+
+class Conv2d(Module):
+    def __init__(self, in_ch, out_ch, kernel_size, stride=1, padding=0, groups=1, bias=True, dilation=1):
+        assert groups == 1 and dilation == 1
+        k = kernel_size if isinstance(kernel_size, int) else kernel_size[0]
+        self.stride = stride if isinstance(stride, int) else stride[0]
+        self.padding = padding if isinstance(padding, int) else padding[0]
+        self.weight = np.zeros((out_ch, in_ch, k, k))
+        self.bias = np.zeros(out_ch) if bias else None
+
+    def forward(self, x):
+        y = _conv2d(x.a, self.weight, self.stride, self.padding)
+        if self.bias is not None:
+            y = y + self.bias[None, :, None, None]
+        return Tensor(y)
+
+
+class Embedding(Module):
+    def __init__(self, num_embeddings, embedding_dim):
+        self.weight = np.zeros((num_embeddings, embedding_dim))
+
+    def forward(self, idx):
+        ids = np.asarray(idx.a if isinstance(idx, Tensor) else idx, dtype=np.int64)
+        return Tensor(self.weight[ids])
+
+
+# ---------------------------------------------------------------------------
+# functional + torchvision pieces
+# ---------------------------------------------------------------------------
+def _relu_f(x, inplace=False):
+    return Tensor(np.maximum(x.a, 0.0))
+
+
+F = types.SimpleNamespace(relu=_relu_f)
+
+
+def conv3x3(in_planes, out_planes, stride=1, groups=1, dilation=1):
+    """torchvision.models.resnet.conv3x3 (public semantics)."""
+    return Conv2d(in_planes, out_planes, 3, stride=stride, padding=dilation, groups=groups, bias=False, dilation=dilation)
+
+
+def conv1x1(in_planes, out_planes, stride=1):
+    """torchvision.models.resnet.conv1x1 (public semantics)."""
+    return Conv2d(in_planes, out_planes, 1, stride=stride, bias=False)
+
+
+class BasicBlock(Module):
+    """torchvision.models.resnet.BasicBlock (public semantics), eval mode."""
+
+    expansion = 1
+
+    def __init__(self, inplanes, planes, stride=1, downsample=None, **k):
+        self.conv1 = conv3x3(inplanes, planes, stride)
+        self.bn1 = BatchNorm2d(planes)
+        self.relu = ReLU(inplace=True)
+        self.conv2 = conv3x3(planes, planes)
+        self.bn2 = BatchNorm2d(planes)
+        self.downsample = downsample
+        self.stride = stride
+
+    def forward(self, x):
+        identity = x
+        out = self.conv1(x)
+        out = self.bn1(out)
+        out = self.relu(out)
+        out = self.conv2(out)
+        out = self.bn2(out)
+        if self.downsample is not None:
+            identity = self.downsample(x)
+        out = out + identity
+        return self.relu(out)
+
+
+nn = types.SimpleNamespace(
+    Module=Module,
+    Linear=Linear,
+    ReLU=ReLU,
+    Sigmoid=Sigmoid,
+    Softmax=Softmax,
+    Dropout=Dropout,
+    Sequential=Sequential,
+    ModuleList=ModuleList,
+    BatchNorm2d=BatchNorm2d,
+    Conv2d=Conv2d,
+    Embedding=Embedding,
+)
+
+torch = types.SimpleNamespace(
+    Tensor=Tensor,
+    tensor=tensor,
+    zeros=zeros,
+    ones=ones,
+    empty=empty,
+    arange=arange,
+    stack=stack,
+    sin=sin,
+    cos=cos,
+    exp=exp,
+    sigmoid=sigmoid,
+    nn=nn,
+    float=np.float64,
+    float64=np.float64,
+    float32=np.float64,  # everything computes in float64 here
+)
+nn.functional = F
+torch.nn = nn
+
+math = math  # re-export for patched modules that expect a math global

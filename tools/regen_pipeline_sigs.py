@@ -22,7 +22,11 @@ def main():
 
     spark = get_spark(master="local[8]")
     vals = {}
-    for name in ("pipeline_layout_clusters", "pipeline_table_cells"):
+    for name in (
+        "pipeline_layout_clusters",
+        "pipeline_table_cells",
+        "pipeline_reading_order",
+    ):
         row = Q.QUERIES[name](spark, SF).collect()[0]
         vals[name] = (int(row["n_rows"]), str(row["sig"]))
         print(name, vals[name])
