@@ -7,10 +7,11 @@ open() overhead of millions of tiny files dominates. ``compact_parquet_dir``
 bin-packs the existing data files into groups of ~``target_bytes`` (first-fit
 over the size-sorted listing — same planning shape as lineage file groups),
 rewrites each group with ``coalesce(1)`` (narrow — no shuffle, a group's
-files stream through one task), and commits by atomic directory swap
-(write to ``<dir>.__compact_tmp``, rename old → ``.__compact_bak``, tmp →
-dir, drop bak). Readers never observe a half-written directory; a crash
-before the final rename leaves the original intact.
+files stream through one task), and commits via the shared
+:mod:`atomic_dir` snapshot swap — in-process failures roll back to the
+original, hard crashes are repaired by the ``recover()`` every run
+performs on entry. Non-parquet sidecar entries (lineage ``_manifest_v2``,
+``_metadata`` …) are carried into the new snapshot by hardlink.
 
 Files already ≥ target_bytes are carried over untouched (copied by group
 membership of exactly one file — no rewrite cost beyond the copy, which a
@@ -55,16 +56,20 @@ def _plan_groups(files: list[tuple[str, int]], target_bytes: int) -> list[list[s
 def compact_parquet_dir(
     spark: SparkSession, data_dir: str, target_bytes: int = 128 * 1024 * 1024
 ) -> CompactionReport:
+    from docling_ibm_models_spark.pipeline import atomic_dir
+
+    atomic_dir.recover(data_dir, "compact")  # repair any interrupted run
+
+    entries = os.listdir(data_dir)
     files = [
         (os.path.join(data_dir, f), os.path.getsize(os.path.join(data_dir, f)))
-        for f in os.listdir(data_dir)
+        for f in entries
         if f.endswith(".parquet")
     ]
     if not files:
         return CompactionReport(0, 0, 0, 0)
     groups = _plan_groups(files, target_bytes)
-    tmp = data_dir.rstrip("/") + ".__compact_tmp"
-    bak = data_dir.rstrip("/") + ".__compact_bak"
+    tmp = data_dir.rstrip("/") + ".compact_tmp"
     shutil.rmtree(tmp, ignore_errors=True)
     os.makedirs(tmp)
 
@@ -78,13 +83,16 @@ def compact_parquet_dir(
                     os.path.join(out, f), os.path.join(tmp, f"part-{i:05d}.parquet")
                 )
         shutil.rmtree(out)
-    # preserve the success marker for downstream _SUCCESS checks
+    # carry over every sidecar entry (lineage _manifest_v2, _metadata, …)
+    # by hardlink — only the data files are rewritten. _SUCCESS is
+    # recreated fresh for downstream marker checks.
+    for entry in entries:
+        if entry.endswith(".parquet") or entry == "_SUCCESS":
+            continue
+        atomic_dir.link_tree(os.path.join(data_dir, entry), os.path.join(tmp, entry))
     open(os.path.join(tmp, "_SUCCESS"), "w").close()
 
-    shutil.rmtree(bak, ignore_errors=True)
-    os.rename(data_dir, bak)
-    os.rename(tmp, data_dir)
-    shutil.rmtree(bak)
+    atomic_dir.swap(data_dir, tmp, "compact")
 
     n_after = len([f for f in os.listdir(data_dir) if f.endswith(".parquet")])
     return CompactionReport(

@@ -6,7 +6,7 @@ The scale-defining property is PARTITION PRUNING on both sides of the
 read-modify-write: updates are bucketed by the same ``pmod(xxhash64(key),
 P)`` the table is partitioned by, only the buckets that actually receive
 updates are read back, merged (updates win on key collision, new keys
-insert), and rewritten via dynamic partition overwrite. Buckets without
+insert), staged, and committed by atomic snapshot swap. Buckets without
 updates are never read, never rewritten — at 10^12 rows a MERGE touching
 0.1% of keys costs ~0.1% of a full rewrite. Matches Iceberg's
 copy-on-write MERGE at partition granularity (real Iceberg prunes to file
@@ -53,35 +53,74 @@ def merge_upsert(
     num_buckets: int,
 ) -> MergeReport:
     """Upsert ``updates`` into the table at ``path`` (same schema, keyed by
-    ``key``): matched keys take the update row, unmatched insert."""
+    ``key``): matched keys take the update row, unmatched insert.
+
+    Crash-atomic: touched buckets are staged to a tmp dir, untouched
+    buckets hardlinked (bit-identical, zero copy), and the whole table
+    committed by :mod:`atomic_dir` snapshot swap — a crash at any point
+    leaves the table readable with either the old or the new snapshot,
+    never a mix and never a missing bucket. Duplicate keys in ``updates``
+    raise (Iceberg MERGE INTO errors on multiple matching source rows).
+    """
+    import os
+    import shutil
+
+    from docling_ibm_models_spark.pipeline import atomic_dir
+
+    atomic_dir.recover(path, "merge")  # repair any interrupted prior merge
+
     up = updates.withColumn(PART_COL, bucket_of(F.col(key), num_buckets))
-    touched = [r[PART_COL] for r in up.select(PART_COL).distinct().collect()]
+    touched = {int(r[PART_COL]) for r in up.select(PART_COL).distinct().collect()}
     if not touched:
         return MergeReport(0, 0, 0)
 
     # partition-pruned read: only the buckets receiving updates
-    current = spark.read.parquet(path).where(F.col(PART_COL).isin(touched))
-    n_before = current.count()
-    n_updates = up.count()
+    current = spark.read.parquet(path).where(F.col(PART_COL).isin(list(touched)))
+    # report counts in ONE action (vs a count() per side): n_up = update
+    # rows, n_keys guards source-duplicate keys, matched = keys that hit
+    stats = (
+        up.select(key)
+        .join(current.select(key).distinct().withColumn("__matched", F.lit(1)), key, "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_up"),
+            F.countDistinct(key).alias("n_keys"),
+            F.coalesce(F.sum("__matched"), F.lit(0)).alias("matched"),
+        )
+        .collect()[0]
+    )
+    if stats.n_up != stats.n_keys:
+        raise ValueError(
+            f"merge_upsert: updates contain duplicate '{key}' values "
+            f"({stats.n_up} rows, {stats.n_keys} distinct keys) — MERGE "
+            "requires at most one source row per key (Iceberg MERGE INTO "
+            "errors on multiple matches); deduplicate first"
+        )
+
     survivors = current.join(up.select(key), key, "left_anti")
     merged = survivors.unionByName(up)
-    # dynamic overwrite replaces ONLY the touched part_bucket= partitions;
-    # scope the mode switch to this write (restore the caller's setting)
-    mode_key = "spark.sql.sources.partitionOverwriteMode"
-    prev = spark.conf.get(mode_key, None)
-    spark.conf.set(mode_key, "dynamic")
-    try:
-        merged.write.mode("overwrite").partitionBy(PART_COL).parquet(path)
-    finally:
-        if prev is not None:
-            spark.conf.set(mode_key, prev)
-        else:
-            spark.conf.unset(mode_key)
 
-    n_after = spark.read.parquet(path).where(F.col(PART_COL).isin(touched)).count()
-    updated = n_before - (n_after - n_updates)
+    # stage the rewritten buckets, then assemble the full new snapshot
+    stage = path.rstrip("/") + ".merge_stage"
+    tmp = path.rstrip("/") + ".merge_tmp"
+    shutil.rmtree(stage, ignore_errors=True)
+    shutil.rmtree(tmp, ignore_errors=True)
+    try:
+        merged.write.mode("overwrite").partitionBy(PART_COL).parquet(stage)
+        os.makedirs(tmp)
+        for entry in os.listdir(path):
+            if entry.startswith(f"{PART_COL}=") and int(entry.split("=", 1)[1]) in touched:
+                continue  # replaced below
+            atomic_dir.link_tree(os.path.join(path, entry), os.path.join(tmp, entry))
+        for entry in os.listdir(stage):
+            if entry.startswith(f"{PART_COL}="):
+                os.rename(os.path.join(stage, entry), os.path.join(tmp, entry))
+        atomic_dir.swap(path, tmp, "merge")
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(tmp, ignore_errors=True)
+
     return MergeReport(
         buckets_touched=len(touched),
-        rows_updated=updated,
-        rows_inserted=n_updates - updated,
+        rows_updated=int(stats.matched),
+        rows_inserted=int(stats.n_up - stats.matched),
     )

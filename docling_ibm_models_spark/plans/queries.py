@@ -939,6 +939,11 @@ def _shingles3_py(text):  # noqa: C901 (kept in lockstep with the SQL twin)
     ws_re = re.compile(r"\s+")
     out = []
     for t in text:
+        if t is None:
+            # NULL-tolerant like the SQL twin (DuckDB propagates NULL;
+            # an AttributeError here would fail the whole Spark task)
+            out.append(None)
+            continue
         ws = ws_re.split(t.lower().strip(" "))
         if len(ws) < 3:
             out.append(None)
@@ -1166,23 +1171,32 @@ def dedup_minhash_verified(spark, sf_dir):
     O(n²); the intersection itself is a narrow array_intersect on the two
     joined shingle arrays. The shingle-set DataFrame is persisted and
     shared by the candidate generation and both join sides — otherwise the
-    shingling UDF would re-run up to ~5× inside this one action."""
+    shingling UDF would re-run up to ~5× inside this one action. The
+    verified-pairs result (inherently small: near-dup pairs above 0.4
+    Jaccard) is materialized before returning so the cache is released
+    eagerly — no cached partitions leak into subsequent queries of a
+    long-lived session."""
     docs = _t(spark, sf_dir, "documents")
     sh = _shingles_spark(docs).persist()
-    cand = _lsh_candidates(spark, sf_dir, sh=sh)
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
-    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
-    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
-    jac = inter.cast("double") / (
-        F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
-    )
-    return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .where(jac >= _VERIFY_JACCARD)
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
-        .orderBy("doc_a", "doc_b")
-    )
+    try:
+        cand = _lsh_candidates(spark, sf_dir, sh=sh)
+        sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+        sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+        inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+        jac = inter.cast("double") / (
+            F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
+        )
+        out = (
+            cand.join(sa, "doc_a")
+            .join(sb, "doc_b")
+            .where(jac >= _VERIFY_JACCARD)
+            .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+            .orderBy("doc_a", "doc_b")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        sh.unpersist()
 
 
 _SIMHASH_BITS = 16
@@ -1615,6 +1629,49 @@ def spatial_iopdf_join(spark, sf_dir):
     return (
         p.join(F.broadcast(t), (ix > 0) & (iy > 0))
         .select("cell_id", "pdf_id", F.round(iopdf, 4).alias("iopdf"))
+        .orderBy("cell_id", "pdf_id")
+    )
+
+
+@register(
+    "iou_match_join",
+    oracle=f"""
+    WITH t AS ({_TCELLS_SQL}), p AS ({_PCELLS_SQL}),
+    j AS (
+      SELECT t.cell_id, p.pdf_id,
+             (least(t.x2, p.px2) - greatest(t.x1, p.px1))
+             * (least(t.y2, p.py2) - greatest(t.y1, p.py1)) AS ia,
+             (t.x2 - t.x1) * (t.y2 - t.y1) AS ta,
+             (p.px2 - p.px1) * (p.py2 - p.py1) AS pa
+      FROM t JOIN p
+        ON least(t.x2, p.px2) > greatest(t.x1, p.px1)
+       AND least(t.y2, p.py2) > greatest(t.y1, p.py1)
+    )
+    SELECT cell_id, pdf_id, round(ia / (ta + pa - ia), 4) AS iou
+    FROM j
+    WHERE (ta + pa - ia) > 0 AND ia / (ta + pa - ia) >= 0.05
+    ORDER BY cell_id, pdf_id
+    """,
+)
+def iou_match_join(spark, sf_dir):
+    """J3 — the cell matcher's IoU matching (tf_cell_matcher.py:529-605
+    ``_iou_match``) as a relational range join: intersection-over-union
+    for every overlapping (table_cell, pdf_cell) pair, kept at the
+    reference's ``iou_thres`` 0.05 with its ``div_area > 0`` guard. Same
+    broadcast shape as the J2 iopdf variant (the per-table cell grid is
+    tiny; pdf cells stream)."""
+    t = _tcells_spark(spark, sf_dir)
+    p = _pcells_spark(spark, sf_dir)
+    ix = F.least(F.col("x2"), F.col("px2")) - F.greatest(F.col("x1"), F.col("px1"))
+    iy = F.least(F.col("y2"), F.col("py2")) - F.greatest(F.col("y1"), F.col("py1"))
+    ia = ix * iy
+    ta = (F.col("x2") - F.col("x1")) * (F.col("y2") - F.col("y1"))
+    pa = (F.col("px2") - F.col("px1")) * (F.col("py2") - F.col("py1"))
+    div = ta + pa - ia
+    return (
+        p.join(F.broadcast(t), (ix > 0) & (iy > 0))
+        .where((div > 0) & (ia / div >= 0.05))
+        .select("cell_id", "pdf_id", F.round(ia / div, 4).alias("iou"))
         .orderBy("cell_id", "pdf_id")
     )
 

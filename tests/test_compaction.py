@@ -62,3 +62,31 @@ def test_compact_empty_dir_is_noop(spark, tmp_path):
     d.mkdir()
     report = compact_parquet_dir(spark, str(d))
     assert report.files_before == report.files_after == 0
+
+
+def test_compact_carries_sidecars_and_recovers(spark, tmp_path):
+    """Non-parquet sidecar entries (e.g. the lineage _manifest_v2 dir)
+    survive compaction; an interrupted swap is repaired on the next run."""
+    import os
+
+    from docling_ibm_models_spark.pipeline import atomic_dir
+    from docling_ibm_models_spark.pipeline.compaction import compact_parquet_dir
+
+    path = str(tmp_path / "lake")
+    df = spark.range(0, 2000).selectExpr("id", "id * 2 AS v")
+    df.repartition(16).write.parquet(path)
+    os.makedirs(os.path.join(path, "_manifest_v2"))
+    with open(os.path.join(path, "_manifest_v2", "chunk-0.json"), "w") as f:
+        f.write('{"rows": 2000}')
+
+    rep = compact_parquet_dir(spark, path, target_bytes=10 * 1024 * 1024)
+    assert rep.files_after < rep.files_before
+    assert os.path.exists(os.path.join(path, "_manifest_v2", "chunk-0.json"))
+    assert spark.read.parquet(path).count() == 2000
+
+    # simulate a hard crash between the two commit renames
+    os.rename(path, path + ".compact_bak")
+    assert not os.path.exists(path)
+    assert atomic_dir.recover(path, "compact") is True
+    assert spark.read.parquet(path).count() == 2000
+    assert os.path.exists(os.path.join(path, "_manifest_v2", "chunk-0.json"))

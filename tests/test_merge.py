@@ -83,3 +83,69 @@ def test_merge_empty_updates_is_noop(spark, tmp_path):
     empty = docs.where(F.lit(False))
     report = merge_upsert(spark, path, empty, key="doc_id", num_buckets=4)
     assert (report.buckets_touched, report.rows_updated, report.rows_inserted) == (0, 0, 0)
+
+
+def test_merge_duplicate_update_keys_raise(spark, tmp_path):
+    import pytest
+
+    path = str(tmp_path / "tbl")
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
+        "doc_id", "text", "lang"
+    )
+    write_merge_table(docs, path, key="doc_id", num_buckets=N_BUCKETS)
+    dup = spark.createDataFrame(
+        [(1, "A", "en"), (1, "B", "en")], "doc_id long, text string, lang string"
+    )
+    before = _file_state(path)
+    with pytest.raises(ValueError, match="duplicate"):
+        merge_upsert(spark, path, dup, key="doc_id", num_buckets=N_BUCKETS)
+    # the failed merge must not have touched the table
+    assert _file_state(path) == before
+
+
+def test_merge_crash_mid_commit_leaves_table_readable(spark, tmp_path, monkeypatch):
+    """Kill the commit between the two snapshot renames: the in-process
+    rollback restores the original; a hard crash (no rollback) is repaired
+    by the recover() the next merge performs on entry. Either way the
+    table is always readable with a complete snapshot."""
+    import pytest
+
+    from docling_ibm_models_spark.pipeline import atomic_dir
+
+    path = str(tmp_path / "tbl")
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
+        "doc_id", "text", "lang"
+    )
+    write_merge_table(docs, path, key="doc_id", num_buckets=N_BUCKETS)
+    n0 = spark.read.parquet(path).count()
+    updates = spark.createDataFrame(
+        [(i, f"UPDATED-{i}", "en") for i in range(5)],
+        "doc_id long, text string, lang string",
+    )
+
+    # in-process failure of the second rename → rollback to the original
+    real_rename = os.rename
+    calls = {"n": 0}
+
+    def failing_rename(src, dst):
+        if dst == path and src.endswith(".merge_tmp"):
+            raise OSError("simulated crash at commit")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(atomic_dir.os, "rename", failing_rename)
+    with pytest.raises(OSError, match="simulated crash"):
+        merge_upsert(spark, path, updates, key="doc_id", num_buckets=N_BUCKETS)
+    monkeypatch.setattr(atomic_dir.os, "rename", real_rename)
+    tbl = spark.read.parquet(path)
+    assert tbl.count() == n0  # old snapshot intact
+    assert tbl.where("doc_id = 0").collect()[0].text != "UPDATED-0"
+
+    # hard crash between the renames: dir absent, bak complete → recover
+    bak = path + ".merge_bak"
+    real_rename(path, bak)
+    assert not os.path.exists(path)
+    report = merge_upsert(spark, path, updates, key="doc_id", num_buckets=N_BUCKETS)
+    assert report.rows_updated == 5
+    tbl = spark.read.parquet(path)
+    assert tbl.count() == n0
+    assert tbl.where("doc_id = 0").collect()[0].text == "UPDATED-0"
