@@ -48,10 +48,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB oracle SQL per query (same parquet views). Keys absent here
-    fall back to the driver's rows-only check — currently exactly two:
-    pipeline_reading_order (its ordering semantics are oracle-checked via
-    reading_order_assembly) and pipeline_table_profile (wall-clock
-    timings, inherently oracle-free)."""
+    fall back to the driver's rows-only check — currently exactly one:
+    pipeline_table_profile (wall-clock timings, inherently oracle-free).
+    pipeline_reading_order gained a pinned golden-signature oracle in
+    round 3 (same mechanism as the other pipeline stages)."""
     from docling_ibm_models_spark.plans.queries import ORACLES
 
     return dict(ORACLES)

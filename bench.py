@@ -212,7 +212,8 @@ def run_scaling(pages_path: str, n_pages: int, small: int, big: int) -> tuple[di
         if k >= MIN_CLEAN_PAIRS and len(clean) >= MIN_CLEAN_PAIRS:
             if effs[-1] - effs[0] <= SPREAD_MAX:
                 break
-            _log(f"[scaling] clean spread {effs[-1] - effs[0]:.3f} > {SPREAD_MAX}; extra pair")
+            if k < MAX_PAIRS:
+                _log(f"[scaling] clean spread {effs[-1] - effs[0]:.3f} > {SPREAD_MAX}; extra pair")
     clean = [p for p in pairs if p["clean"]]
     used = clean if len(clean) >= 1 else pairs  # degenerate: all noisy — use all
     efficiency = statistics.median(p["efficiency"] for p in used)

@@ -646,6 +646,93 @@ def tpch_q18_large_orders(spark, sf_dir):
 
 
 @register(
+    "tpch_q2_min_cost_supplier",
+    oracle="""
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey, round(avg(l_extendedprice), 4) AS avg_cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    best AS (SELECT l_partkey, min(avg_cost) AS min_cost FROM cost GROUP BY l_partkey)
+    SELECT p.p_partkey, p.p_brand, s.s_name, c.avg_cost AS cost
+    FROM cost c
+    JOIN best b ON b.l_partkey = c.l_partkey AND c.avg_cost = b.min_cost
+    JOIN part p ON p.p_partkey = c.l_partkey
+    JOIN supplier s ON s.s_suppkey = c.l_suppkey
+    WHERE p.p_size <= 5
+    ORDER BY p.p_partkey, s.s_name
+    """,
+)
+def tpch_q2_min_cost_supplier(spark, sf_dir):
+    """Q2 shape (adapted to the lineitem fact — no partsupp table in the
+    corpus): per-(part, supplier) average cost, then the classic
+    min-scalar-subquery "supplier(s) achieving the per-part minimum",
+    decorrelated into one partial agg + a min re-join on the SAME
+    grouping key (no second shuffle: both aggs and the join share the
+    l_partkey partitioning), then broadcast dims. Costs are rounded to
+    4dp BEFORE the min comparison on both engines so min-equality is
+    float-stable across summation orders."""
+    li = _t(spark, sf_dir, "lineitem")
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_cost")
+    )
+    best = cost.groupBy("l_partkey").agg(F.min("avg_cost").alias("min_cost"))
+    p = _t(spark, sf_dir, "part").where(F.col("p_size") <= 5)
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        cost.join(best, "l_partkey")
+        .where(F.col("avg_cost") == F.col("min_cost"))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("p_partkey", "p_brand", "s_name", F.col("avg_cost").alias("cost"))
+        .orderBy("p_partkey", "s_name")
+    )
+
+
+@register(
+    "tpch_q20_promo_suppliers",
+    oracle="""
+    SELECT s.s_suppkey, s.s_name, n.n_name
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE s.s_suppkey IN (
+      SELECT l_suppkey FROM lineitem l
+      WHERE l.l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+      GROUP BY l_suppkey
+      HAVING sum(l_quantity) > 2500
+    )
+    ORDER BY s.s_suppkey
+    """,
+)
+def tpch_q20_promo_suppliers(spark, sf_dir):
+    """Q20 shape: NESTED semi-joins — parts filter feeds a semi-join that
+    prunes the lineitem scan, a HAVING aggregate feeds the outer semi-join
+    on suppliers. Both inner sides broadcast (part filter and the
+    qualified-supplier key set are small); the only shuffle is the
+    l_suppkey aggregation."""
+    li = _t(spark, sf_dir, "lineitem")
+    promo = _t(spark, sf_dir, "part").where(F.col("p_type") == "PROMO").select("p_partkey")
+    qualified = (
+        li.join(F.broadcast(promo), li.l_partkey == promo.p_partkey, "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("tq"))
+        .where(F.col("tq") > 2500)
+        .select("l_suppkey")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        s.join(
+            F.broadcast(qualified.withColumnRenamed("l_suppkey", "s_suppkey")),
+            "s_suppkey",
+            "left_semi",
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "n_name")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
     "customers_without_orders",
     oracle="""
     SELECT n_name, count(*) AS n_customers
@@ -1129,11 +1216,8 @@ def dedup_minhash_lsh(spark, sf_dir):
 
 _VERIFY_JACCARD = 0.2
 
-
-@register(
-    "dedup_minhash_verified",
-    oracle=f"""
-    WITH sh AS ({_SHINGLES_SQL}),
+# shared by the dedup_minhash_verified oracle and (as a CTE) dedup_clusters
+_MINHASH_VERIFIED_CTES = f"""sh AS ({_SHINGLES_SQL}),
     ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
     hashes AS (
       SELECT doc_id, k, min({_h32_sql("k::VARCHAR || ':' || s")}) AS minh
@@ -1158,9 +1242,18 @@ _VERIFY_JACCARD = 0.2
       FROM cand
       JOIN sh sa ON sa.doc_id = doc_a
       JOIN sh sb ON sb.doc_id = doc_b
-    )
-    SELECT doc_a, doc_b, round(j, 4) AS jaccard
-    FROM scored WHERE j >= {_VERIFY_JACCARD}
+    ),
+    verified AS (
+      SELECT doc_a, doc_b, round(j, 4) AS jaccard
+      FROM scored WHERE j >= {_VERIFY_JACCARD}
+    )"""
+
+
+@register(
+    "dedup_minhash_verified",
+    oracle=f"""
+    WITH {_MINHASH_VERIFIED_CTES}
+    SELECT doc_a, doc_b, jaccard FROM verified
     ORDER BY doc_a, doc_b
     """,
 )
@@ -1197,6 +1290,84 @@ def dedup_minhash_verified(spark, sf_dir):
         return spark.createDataFrame(rows, out.schema)
     finally:
         sh.unpersist()
+
+
+@register(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_MINHASH_VERIFIED_CTES},
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM verified
+      UNION ALL SELECT doc_b, doc_a FROM verified
+    ),
+    nodes AS (SELECT DISTINCT a AS doc FROM edges),
+    walk(root, doc) AS (
+      SELECT doc, doc FROM nodes
+      UNION
+      SELECT w.root, e.b FROM walk w JOIN edges e ON e.a = w.doc
+    )
+    SELECT doc AS doc_id, min(root)::BIGINT AS cluster_id
+    FROM walk GROUP BY doc ORDER BY doc_id
+    """,
+)
+def dedup_clusters(spark, sf_dir):
+    """Duplicate CLUSTERS from the verified near-dup pair graph: connected
+    components by iterative min-label propagation (each round every node
+    takes the min label over itself and its neighbors; loop until a round
+    changes nothing — Pregel/GraphX shape, each round one equi-join + one
+    groupBy on doc_id). The component id is the component's min doc_id.
+
+    Scale note: rounds = graph diameter; near-dup components are shallow
+    (pairs/triples), so 2-3 rounds end it. For adversarial long chains the
+    standard fix is alternating large-star/small-star contraction
+    (O(log n) rounds) — same join/agg primitives, documented here, not
+    needed for near-dup graphs. The driver-side loop condition is a
+    count() on a tiny labels frame, not a collect of data rows. Oracle:
+    DuckDB recursive-CTE reachability with min-over-reachable."""
+    pairs = dedup_minhash_verified(spark, sf_dir)  # materialized, tiny
+    edges = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b")).unionAll(
+        pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
+    ).persist()
+    cached = [edges]
+    try:
+        labels = edges.select(F.col("a").alias("doc")).distinct().withColumn(
+            "label", F.col("doc")
+        ).persist()
+        cached.append(labels)
+        while True:
+            neighbor_min = (
+                edges.join(labels, edges.b == labels.doc)
+                .groupBy(F.col("a").alias("doc"))
+                .agg(F.min("label").alias("nmin"))
+            )
+            new_labels = (
+                labels.join(neighbor_min, "doc", "left")
+                .select(
+                    "doc",
+                    F.least(
+                        F.col("label"), F.coalesce("nmin", F.col("label"))
+                    ).alias("label"),
+                )
+                .persist()
+            )
+            cached.append(new_labels)
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "doc")
+                .where(F.col("n.label") != F.col("o.label"))
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                break
+        rows = labels.select(
+            F.col("doc").alias("doc_id"),
+            F.col("label").cast("long").alias("cluster_id"),
+        ).orderBy("doc_id").collect()
+        return spark.createDataFrame(rows, "doc_id long, cluster_id long")
+    finally:
+        for df in cached:  # same cache hygiene as dedup_minhash_verified
+            df.unpersist()
 
 
 _SIMHASH_BITS = 16

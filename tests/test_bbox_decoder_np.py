@@ -171,3 +171,68 @@ def test_positional_encoding_parity():
     ref_tgt = pe_mod(emb(torch_np.Tensor(ids)).permute(1, 0, 2))
     mine = bnp.embed_with_positions(emb_table, table, ids)
     np.testing.assert_allclose(mine, ref_tgt.a, rtol=1e-12, atol=0)
+
+
+def test_encoder04_parity():
+    """M2 deterministic surface: the reference Encoder04 class
+    (encoder04_rs.py:16-72 — backbone truncation [:-3], AdaptiveAvgPool2d,
+    NCHW→NHWC permute) executed under torch_np with a synthetic conv stack
+    standing in for torchvision.models.resnet18, vs the repo's numpy
+    encoder04_forward with the same stack."""
+    import types
+
+    from docling_ibm_models_spark.models import encoder_np
+
+    ref_import.install()
+    import docling_ibm_models.tableformer.models.table04_rs.encoder04_rs as enc
+
+    enc.nn = torch_np.nn
+
+    stack = encoder_np.synthetic_encoder_stack(seed=11, channels=(3, 8, 16))
+
+    class MustNotRun(torch_np.Module):
+        def forward(self, x):  # layer4/avgpool/fc — dropped by [:-3]
+            raise AssertionError("truncated module was executed")
+
+    def fake_resnet18():
+        mods = []
+        for layer in stack:
+            cout, cin, k, _ = layer["conv"].shape
+            c = torch_np.Conv2d(cin, cout, k, stride=layer["stride"],
+                                padding=layer["padding"], bias=False)
+            c.weight = layer["conv"].copy()
+            bn = torch_np.BatchNorm2d(cout)
+            bn.weight = layer["bn"]["weight"].copy()
+            bn.bias = layer["bn"]["bias"].copy()
+            bn.running_mean = layer["bn"]["running_mean"].copy()
+            bn.running_var = layer["bn"]["running_var"].copy()
+            mods.extend([c, bn, torch_np.ReLU()])
+        mods.extend([MustNotRun(), MustNotRun(), MustNotRun()])
+
+        class FakeResnet:
+            def children(self):
+                return iter(mods)
+
+        return FakeResnet()
+
+    enc.torchvision = types.SimpleNamespace(
+        models=types.SimpleNamespace(resnet18=fake_resnet18)
+    )
+    ref = enc.Encoder04(enc_image_size=5, enc_dim=512)
+
+    rng = np.random.default_rng(21)
+    # 28x28 input → stack downsamples to 7x7 → adaptive pool 5x5 (uneven
+    # bins, exercises the floor/ceil formula)
+    x = rng.normal(0.0, 0.4, (1, 3, 28, 28))
+    ref_out = ref.forward(torch_np.Tensor(x))
+    mine = encoder_np.encoder04_forward(x, stack, enc_image_size=5)
+    assert mine.shape == (1, 5, 5, 16)
+    np.testing.assert_allclose(mine, ref_out.a, rtol=1e-10, atol=1e-12)
+
+    # identity case: pool output size == feature size
+    x2 = rng.normal(0.0, 0.4, (1, 3, 20, 20))
+    ref2 = enc.Encoder04(enc_image_size=5, enc_dim=512)
+    np.testing.assert_allclose(
+        encoder_np.encoder04_forward(x2, stack, 5), ref2.forward(torch_np.Tensor(x2)).a,
+        rtol=1e-10, atol=1e-12,
+    )

@@ -107,3 +107,26 @@ def test_rollup_is_single_pass_expand(spark):
     plan = plan_of(QUERIES["revenue_rollup"](spark, SF_MED))
     assert "Expand" in plan  # ROLLUP = one pass + Expand...
     assert "Union" not in plan  # ...not unioned per-level re-aggregations
+
+
+def test_q20_nested_semi_joins_broadcast(spark):
+    """Both inner sides of the q20 nested semi-joins must broadcast (the
+    promo-part key set and the qualified-supplier key set are tiny); the
+    only shuffle is the l_suppkey aggregation."""
+    plan = plan_of(QUERIES["tpch_q20_promo_suppliers"](spark, SF_MED))
+    assert "BroadcastHashJoin" in plan
+    assert "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q2_min_rejoin_shares_partitioning(spark):
+    """The q2 min-subquery re-join joins two aggregates of the SAME
+    l_partkey grouping — Catalyst must reuse the partitioning rather than
+    inserting a second shuffle between cost and best."""
+    plan = plan_of(QUERIES["tpch_q2_min_cost_supplier"](spark, SF_MED))
+    # one shuffle for the (l_partkey, l_suppkey) agg, one to re-key to
+    # l_partkey for the min; the cost↔best join itself must NOT add a
+    # third repartition of the fact side
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges <= 3, f"q2 plan has {n_exchanges} hash exchanges"
+    assert "CartesianProduct" not in plan

@@ -160,3 +160,42 @@ def test_stream_stream_attribution_join(spark, tmp_path):
         for r in QUERIES["events_click_purchase_join"](spark, SF_SMALL).collect()
     }
     assert got == expected and got, f"{len(got)} vs {len(expected)} attributed pairs"
+
+
+def test_stream_extract_exactly_once_redrain(spark, tmp_path):
+    """Exactly-once sink semantics: (a) a re-drain with no new input emits
+    nothing; (b) an uncommitted orphan part file (a crash-torn task write)
+    is invisible to readers — the parquet sink's _spark_metadata commit log,
+    not the directory listing, defines the table; (c) the next real drain
+    still lands exactly once."""
+    import os
+    import shutil
+
+    pages_dir = str(tmp_path / "pages_stream")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    pages = pages_from_documents(spark, SF_SMALL, parallelism=4).cache()
+    first = pages.limit(200)
+    first.write.mode("append").parquet(pages_dir)
+    stream_extract(spark, pages_dir, out_dir, ckpt)
+    n1 = spark.read.parquet(out_dir).count()
+    assert n1 == 200
+    files1 = sorted(f for f in os.listdir(out_dir) if f.endswith(".parquet"))
+
+    # (a) idempotent re-drain: checkpoint says everything is processed
+    stream_extract(spark, pages_dir, out_dir, ckpt)
+    assert spark.read.parquet(out_dir).count() == n1
+    assert sorted(f for f in os.listdir(out_dir) if f.endswith(".parquet")) == files1
+
+    # (b) an orphan data file not in the commit log must not be read
+    orphan = os.path.join(out_dir, "part-99999-orphan.parquet")
+    shutil.copy(os.path.join(out_dir, files1[0]), orphan)
+    assert spark.read.parquet(out_dir).count() == n1
+
+    # (c) new input lands exactly once despite the orphan
+    pages.subtract(first).write.mode("append").parquet(pages_dir)
+    stream_extract(spark, pages_dir, out_dir, ckpt)
+    result = spark.read.parquet(out_dir)
+    assert result.count() == 500
+    assert result.select("url").distinct().count() == 500

@@ -323,6 +323,24 @@ class Conv2d(Module):
         return Tensor(y)
 
 
+class AdaptiveAvgPool2d(Module):
+    """torch bin formula: start=floor(i*H/out), end=ceil((i+1)*H/out)."""
+
+    def __init__(self, output_size):
+        self.output_size = output_size
+
+    def forward(self, x):
+        n, c, h, w = x.shape
+        oh, ow = self.output_size
+        out = np.zeros((n, c, oh, ow))
+        for i in range(oh):
+            h0, h1 = (i * h) // oh, -(-((i + 1) * h) // oh)
+            for j in range(ow):
+                w0, w1 = (j * w) // ow, -(-((j + 1) * w) // ow)
+                out[:, :, i, j] = x.a[:, :, h0:h1, w0:w1].mean(axis=(2, 3))
+        return Tensor(out)
+
+
 class Embedding(Module):
     def __init__(self, num_embeddings, embedding_dim):
         self.weight = np.zeros((num_embeddings, embedding_dim))
@@ -391,6 +409,7 @@ nn = types.SimpleNamespace(
     BatchNorm2d=BatchNorm2d,
     Conv2d=Conv2d,
     Embedding=Embedding,
+    AdaptiveAvgPool2d=AdaptiveAvgPool2d,
 )
 
 torch = types.SimpleNamespace(
