@@ -52,6 +52,7 @@ BBOX_SPATIAL = 6
 class DeterministicTableFormer:
     def __init__(self, weights: dict):
         from docling_ibm_models_spark.models import bbox_decoder_np as bnp
+        from docling_ibm_models_spark.models import encoder_np
 
         self.grid_bias = int(weights.get("grid_bias", 0))
         # M5 weights: deterministic synthetics (no checkpoint in-container);
@@ -64,6 +65,11 @@ class DeterministicTableFormer:
             tag_decoder_dim=BBOX_DIM,
             decoder_dim=BBOX_DIM,
             num_classes=2,
+        )
+        # M2 mini-backbone (real conv/BN/pool math, encoder_np with
+        # reference-class parity): 3→16→64 channels, stride-2 twice
+        self.enc_stack = encoder_np.synthetic_encoder_stack(
+            seed=int(weights.get("bbox_seed", 7)) + 1, channels=(3, 16, BBOX_IN_CH)
         )
 
     @staticmethod
@@ -128,22 +134,67 @@ class DeterministicTableFormer:
 
         res = decoder_semantics.decode_postfix(proposed)
         rs_seq = [t for t in res.tags if t != "<end>"]
-        # M5 bbox decoder: REAL numpy forward (models/bbox_decoder_np.py,
-        # reference-parity-tested vs bbox_decoder_rs.py:131-168 under the
-        # computing fake-torch). Only the M2 CNN feature map and the
-        # per-slot tag-decoder hidden states are crop-seeded fakes.
+        # M2→M5: the feature map is a REAL conv/BN/pool forward
+        # (encoder_np, reference-class parity) over a deterministic strided
+        # downsample of the REAL prepared image tensor, and the bbox
+        # decoder is the REAL vectorized numpy forward
+        # (models/bbox_decoder_np.py, reference-parity-tested vs
+        # bbox_decoder_rs.py:131-168 under the computing fake-torch). Only
+        # the per-slot tag-decoder hidden states remain crop-seeded fakes
+        # (the M3/M4 transformer decode is the stubbed stage).
         import numpy as np
 
         from docling_ibm_models_spark.models import bbox_decoder_np as bnp
+        from docling_ibm_models_spark.models import encoder_np
 
+        side = batch.shape[-1]  # 448 after prepare_image
+        idx = np.linspace(0, side - 1, 4 * BBOX_SPATIAL).astype(int)
+        # prepared pixels are mean/std-normalized (~unit scale) — feed the
+        # synthetic BN stats as-is
+        small = np.asarray(batch, dtype=np.float64)[:, :, idx][:, :, :, idx]
+        enc_out = encoder_np.encoder04_forward(small, self.enc_stack, BBOX_SPATIAL)
+        # standardize the feature map into the regime the synthetic M5
+        # weights were calibrated for (trained checkpoints get this from
+        # BN statistics fitted on real data; per-crop brightness shifts
+        # would otherwise saturate the sigmoid heads)
+        enc_out = (enc_out - enc_out.mean()) / (enc_out.std() + 1e-9) * 0.3
         rng = np.random.default_rng(int.from_bytes(h[:8], "big"))
-        enc_out = rng.normal(0.0, 0.3, (1, BBOX_SPATIAL, BBOX_SPATIAL, BBOX_IN_CH))
         tag_H = rng.normal(0.0, 0.5, (res.n_slots, BBOX_DIM))
         logits, boxes = bnp.bbox_inference(self.bbox_w, enc_out, tag_H)
+        # anchor the forward's sigmoid outputs as WITHIN-GRID-CELL offsets
+        # (YOLO-style): a trained decoder reads the cell's position out of
+        # tag_H; random synthetic weights cannot, so the grid supplies the
+        # structure and the real forward supplies the per-cell offsets.
+        # Slot (row, col) comes from the corrected tag stream.
+        slot_rc = []
+        r_i = c_i = si = 0
+        for t_idx, tag in enumerate(res.tags):
+            if si < res.n_slots and res.slot_steps[si] == t_idx:
+                slot_rc.append((r_i, c_i))
+                si += 1
+            if tag == "nl":
+                r_i, c_i = r_i + 1, 0
+            elif tag != "<end>":
+                c_i += 1
+        n_r = max(r_i, 1)
+        n_c = max((max(c for _, c in slot_rc) + 1) if slot_rc else 1, 1)
+        anchored = []
+        for i, (r, c) in enumerate(slot_rc):
+            ox, oy, ow_, oh_ = boxes[i]
+            # cell text sits centered-ish horizontally and in the UPPER
+            # part of its grid cell (typeset rows hug the cell top)
+            anchored.append(
+                [
+                    (min(c, n_c - 1) + 0.2 + 0.6 * ox) / n_c,
+                    (min(r, n_r - 1) + 0.12 + 0.5 * oy) / n_r,
+                    (0.25 + 0.65 * ow_) / n_c,
+                    (0.25 + 0.65 * oh_) / n_r,
+                ]
+            )
         # span merge keeps the first slot's class VECTOR, argmax after —
         # reference order (tablemodel04_rs.py:291-307, tf_predictor.py:632)
         class_vecs = [logits[i] for i in range(res.n_slots)]
-        coords = [boxes[i].tolist() for i in range(res.n_slots)]
+        coords = anchored
         class_vecs, coords = decoder_semantics.merge_spans(
             class_vecs, coords, res.bboxes_to_merge
         )

@@ -2177,7 +2177,7 @@ def _layout_clusters_df(spark, sf_dir):
 # stub changes with tools/regen_pipeline_sigs.py (rewrites this dict).
 _PINNED_SIGS = {
     "pipeline_layout_clusters": (1103, "d5b36eae5d9454367e840d40e7798c55"),
-    "pipeline_table_cells": (104, "da3d190d921580e40734bbe7ef8a2184"),
+    "pipeline_table_cells": (104, "a7ed724715dd3c1367a56d26522ba88f"),
     "pipeline_reading_order": (595, "0b4af5e60ff2719aaf0319b2d8cbec11"),
 }
 

@@ -67,10 +67,26 @@ def test_table_structure_stage(spark, page_recs):
     tables = table_structure_stage(page_recs, bc)
     rows = tables.collect()
     assert len(rows) > 0
+    # token-aware invariant: a table region with no tokens inside yields no
+    # cells (nothing to match), and most token-bearing regions yield cells
+    recs = {r.url: r for r in page_recs.collect()}
+    with_tok, with_tok_cells = 0, 0
+    for r in rows:
+        rec = recs[r.url]
+        tb = rec.table_bboxes[r.table_id]
+        toks = [
+            t
+            for t in rec.tokens
+            if not (t.r < tb[0] or t.l > tb[2] or t.b < tb[1] or t.t > tb[3])
+        ]
+        if toks:
+            with_tok += 1
+            with_tok_cells += bool(r.table_cells)
+        else:
+            assert not r.table_cells, f"cells matched in a token-free region: {r.url}"
+    assert with_tok > 0
+    assert with_tok_cells >= with_tok * 0.7, f"{with_tok_cells}/{with_tok}"
     non_empty = [r for r in rows if r.table_cells]
-    # a table region with no tokens legitimately yields no cells; but most
-    # regions sit over the typeset text zone
-    assert len(non_empty) >= len(rows) * 0.5
     for r in non_empty:
         assert r.num_rows >= 1 and r.num_cols >= 1
         assert len(r.otsl_seq) > 0

@@ -28,7 +28,9 @@ class Tensor:
     """Minimal ndarray wrapper with the torch methods the reference uses."""
 
     def __init__(self, data):
-        self.a = np.asarray(data, dtype=np.float64)
+        a = np.asarray(data)
+        # preserve bool (masks built via ==); everything numeric is float64
+        self.a = a if a.dtype == bool else a.astype(np.float64)
 
     # --- shape ops -------------------------------------------------------
     def permute(self, *dims):
@@ -110,6 +112,11 @@ class Tensor:
 
     def __neg__(self):
         return Tensor(-self.a)
+
+    def __eq__(self, o):  # elementwise, like torch (zeros(...) == ones(...))
+        return Tensor(self.a == self._other(o))
+
+    __hash__ = None
 
     # --- reductions / activations ----------------------------------------
     def mean(self, dim=None):
@@ -323,6 +330,103 @@ class Conv2d(Module):
         return Tensor(y)
 
 
+class LayerNorm(Module):
+    """torch.nn.LayerNorm over the last dim (biased variance)."""
+
+    def __init__(self, normalized_shape, eps=1e-5):
+        n = normalized_shape if isinstance(normalized_shape, int) else normalized_shape[0]
+        self.eps = eps
+        self.weight = np.ones(n)
+        self.bias = np.zeros(n)
+
+    def forward(self, x):
+        mu = x.a.mean(axis=-1, keepdims=True)
+        var = x.a.var(axis=-1, keepdims=True)  # unbiased=False, torch default
+        return Tensor((x.a - mu) / np.sqrt(var + self.eps) * self.weight + self.bias)
+
+
+class MultiheadAttention(Module):
+    """torch.nn.MultiheadAttention, seq-first (L, N, E), packed in_proj.
+
+    Public semantics: q/k/v through one (3E, E) projection, per-head
+    scaled dot-product with 1/sqrt(head_dim), bool attn_mask True=blocked,
+    float mask added to scores, out_proj back to E."""
+
+    def __init__(self, embed_dim, num_heads, dropout=0.0, batch_first=False, **k):
+        assert not batch_first
+        self.e = embed_dim
+        self.h = num_heads
+        self.in_proj_weight = np.zeros((3 * embed_dim, embed_dim))
+        self.in_proj_bias = np.zeros(3 * embed_dim)
+        self.out_proj = Linear(embed_dim, embed_dim)
+
+    def forward(self, query, key, value, attn_mask=None, key_padding_mask=None, need_weights=True):
+        E, h = self.e, self.h
+        d = E // h
+        L, N, _ = query.shape
+        S = key.shape[0]
+        W, b = self.in_proj_weight, self.in_proj_bias
+        Q = query.a @ W[:E].T + b[:E]
+        K = key.a @ W[E : 2 * E].T + b[E : 2 * E]
+        V = value.a @ W[2 * E :].T + b[2 * E :]
+
+        def heads(x, T):
+            return x.reshape(T, N * h, d).transpose(1, 0, 2)  # (N*h, T, d)
+
+        Qh, Kh, Vh = heads(Q, L), heads(K, S), heads(V, S)
+        scores = Qh @ Kh.transpose(0, 2, 1) / math.sqrt(d)  # (N*h, L, S)
+        if attn_mask is not None:
+            m = attn_mask.a if isinstance(attn_mask, Tensor) else np.asarray(attn_mask)
+            if m.dtype == bool:
+                scores = np.where(m, -np.inf, scores)
+            else:
+                scores = scores + m
+        mx = scores.max(axis=-1, keepdims=True)
+        ex = np.exp(scores - mx)
+        attn = ex / ex.sum(axis=-1, keepdims=True)
+        out = attn @ Vh  # (N*h, L, d)
+        out = out.transpose(1, 0, 2).reshape(L, N, E)
+        out = out @ self.out_proj.weight.T + self.out_proj.bias
+        return Tensor(out), None
+
+
+class TransformerEncoderLayer(Module):
+    """torch.nn.TransformerEncoderLayer, post-norm (norm_first=False
+    default), relu activation, eval-mode dropout = identity."""
+
+    def __init__(self, d_model, nhead, dim_feedforward=2048, dropout=0.1, **k):
+        self.self_attn = MultiheadAttention(d_model, nhead, dropout=dropout)
+        self.linear1 = Linear(d_model, dim_feedforward)
+        self.linear2 = Linear(dim_feedforward, d_model)
+        self.norm1 = LayerNorm(d_model)
+        self.norm2 = LayerNorm(d_model)
+
+    def forward(self, src, src_mask=None, src_key_padding_mask=None):
+        sa = self.self_attn(src, src, src, attn_mask=src_mask,
+                            key_padding_mask=src_key_padding_mask)[0]
+        x = self.norm1(src + sa)
+        ff = self.linear2(Tensor(np.maximum(self.linear1(x).a, 0.0)))
+        return self.norm2(x + ff)
+
+
+class TransformerEncoder(Module):
+    """torch.nn.TransformerEncoder: deep-copied layer stack, norm=None."""
+
+    def __init__(self, encoder_layer, num_layers, norm=None, enable_nested_tensor=True):
+        import copy
+
+        self.layers = [copy.deepcopy(encoder_layer) for _ in range(num_layers)]
+        self.norm = norm
+
+    def forward(self, src, mask=None, src_key_padding_mask=None):
+        out = src
+        for layer in self.layers:
+            out = layer(out, src_mask=mask, src_key_padding_mask=src_key_padding_mask)
+        if self.norm is not None:
+            out = self.norm(out)
+        return out
+
+
 class AdaptiveAvgPool2d(Module):
     """torch bin formula: start=floor(i*H/out), end=ceil((i+1)*H/out)."""
 
@@ -410,6 +514,10 @@ nn = types.SimpleNamespace(
     Conv2d=Conv2d,
     Embedding=Embedding,
     AdaptiveAvgPool2d=AdaptiveAvgPool2d,
+    LayerNorm=LayerNorm,
+    MultiheadAttention=MultiheadAttention,
+    TransformerEncoderLayer=TransformerEncoderLayer,
+    TransformerEncoder=TransformerEncoder,
 )
 
 torch = types.SimpleNamespace(
