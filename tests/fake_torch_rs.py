@@ -223,3 +223,87 @@ def run_reference_decode(proposed_tags, coords, classes, max_pred_len=512):
     merged_cls = [c[0] for c in out_cls]
     merged_coord = [list(c) for c in out_coord]
     return tags, bb.received_slots, merged_cls, merged_coord
+
+
+# ---------------------------------------------------------------------------
+# Real-numerics variant: the same reference predict() loop, but the bbox
+# decoder is the repo's REAL numpy forward (models/bbox_decoder_np.py) and
+# the per-step decoder states are real vectors — the loop's grammar
+# corrections, slot emission, span merge and mergebboxes all run over real
+# numbers end-to-end.
+# ---------------------------------------------------------------------------
+class RealDecoded:
+    """decoded: [-1, :, :] yields itself — carries (step, real vector)."""
+
+    def __init__(self, step, vec):
+        self.step = step
+        self.vec = vec
+
+    def __getitem__(self, idx):
+        return self
+
+
+class FakeTagTransformerReal(FakeTagTransformer):
+    def __init__(self, proposed_ids, vec_fn):
+        super().__init__(proposed_ids)
+        self.vec_fn = vec_fn
+
+    def _decoder(self, emb, enc, cache, memory_key_padding_mask=None):
+        step = len(emb.rows) - 1
+        return RealDecoded(step, self.vec_fn(step)), cache
+
+
+class RealNumpyBBoxDecoder:
+    """reference-parity numpy forward behind the loop's decoder contract."""
+
+    def __init__(self, weights):
+        self.w = weights
+        self.received_slots = None
+
+    def inference(self, enc_out, tag_H_buf):
+        import numpy as np
+
+        from docling_ibm_models_spark.models import bbox_decoder_np as bnp
+
+        self.received_slots = len(tag_H_buf)
+        enc = enc_out.a if hasattr(enc_out, "a") else np.asarray(enc_out)
+        dim = self.w["att_tag"]["w"].shape[1]
+        tag_h = (
+            np.vstack([t.vec for t in tag_H_buf])
+            if tag_H_buf
+            else np.empty((0, dim))
+        )
+        cls, box = bnp.bbox_inference(self.w, enc, tag_h)
+        return (
+            FakeSeq(BB(c.tolist()) for c in cls),
+            FakeSeq(BB(b.tolist()) for b in box),
+        )
+
+
+def run_reference_decode_real_bbox(
+    proposed_tags, weights, enc_nhwc, vec_fn, max_pred_len=512
+):
+    """Reference predict() with prescribed tag proposals but REAL bbox
+    numerics. Returns (tags, n_slots, merged_class_vectors, merged_coords)."""
+    ref_import.install()
+    from . import torch_np
+
+    import docling_ibm_models.tableformer.models.table04_rs.tablemodel04_rs as tm
+
+    tm.torch = _fake_torch()
+    m = tm.TableModel04_rs.__new__(tm.TableModel04_rs)
+    m._device = "cpu"
+    m._prof = False
+    m._bbox = True
+    m._max_pred_len = max_pred_len
+    m._init_data = {"word_map": {"word_map_tag": WORD_MAP_TAG}}
+    m._encoder = lambda imgs: torch_np.Tensor(enc_nhwc)
+    m._tag_transformer = FakeTagTransformerReal(
+        [WORD_MAP_TAG[t] for t in proposed_tags], vec_fn
+    )
+    bb = RealNumpyBBoxDecoder(weights)
+    m._bbox_decoder = bb
+
+    seq, out_cls, out_coord = m.predict(Blob(), max_steps=None, k=1)
+    tags = [ID_TO_TAG[i] for i in seq[1:]]
+    return tags, bb.received_slots, [list(c) for c in out_cls], [list(c) for c in out_coord]
