@@ -166,16 +166,15 @@ class DeterministicTableFormer:
         # tag_H; random synthetic weights cannot, so the grid supplies the
         # structure and the real forward supplies the per-cell offsets.
         # Slot (row, col) comes from the corrected tag stream.
-        slot_rc = []
-        r_i = c_i = si = 0
-        for t_idx, tag in enumerate(res.tags):
-            if si < res.n_slots and res.slot_steps[si] == t_idx:
-                slot_rc.append((r_i, c_i))
-                si += 1
+        rc_at = []  # (row, col) of every output-tag index
+        r_i = c_i = 0
+        for tag in res.tags:
+            rc_at.append((r_i, c_i))
             if tag == "nl":
                 r_i, c_i = r_i + 1, 0
             elif tag != "<end>":
                 c_i += 1
+        slot_rc = [rc_at[t] for t in res.slot_steps]
         n_r = max(r_i, 1)
         n_c = max((max(c for _, c in slot_rc) + 1) if slot_rc else 1, 1)
         anchored = []
