@@ -798,6 +798,201 @@ def tpch_q19_disjunctive_revenue(spark, sf_dir):
 
 
 @register(
+    "tpch_q13_order_count_distribution",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c LEFT JOIN orders o
+        ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    ) t
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def tpch_q13_order_count_distribution(spark, sf_dir):
+    """Q13 shape: left outer join with the filter on the JOIN CONDITION
+    (not a WHERE — customers whose only orders are urgent must still count
+    as c_count=0) followed by a double aggregation. The inner groupBy
+    partitions by c_custkey; the outer re-aggregates the tiny (c_count)
+    domain, so the second shuffle carries only #distinct-counts rows
+    after partial aggregation."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@register(
+    "tpch_q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        AND l_shipdate < TIMESTAMP '1995-07-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+)
+def tpch_q15_top_supplier(spark, sf_dir):
+    """Q15 shape: a derived revenue view consumed twice — once as the join
+    input, once inside a scalar max() subquery. Expressed as a single
+    window-free plan: compute the view ONCE, take its scalar max via a
+    broadcast 1-row cross join (not a second scan of lineitem), then
+    filter. At scale the view is one partial-agg shuffle over the
+    date-pruned scan; the max is a driver-free 1-row broadcast."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") < "1995-07-01")
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "total_revenue"
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(mx), F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("supplier_no"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "tpch_q21_waiting_supplier",
+    oracle="""
+    SELECT s.s_name, count(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3 JOIN orders o3
+                        ON o3.o_orderkey = l3.l_orderkey
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 25
+    """,
+)
+def tpch_q21_waiting_supplier(spark, sf_dir):
+    """Q21 shape (adapted: lateness = shipped >60 days after order date,
+    since this schema has no commit/receipt dates): the sole late supplier
+    on a multi-supplier order. The two correlated subqueries over the SAME
+    fact table become one left-semi and one left-anti join on l_orderkey
+    with a supplier-inequality residual — all three lineitem scans shuffle
+    on the same key, so Catalyst/AQE co-partitions them; the final groupBy
+    is on the small supplier name domain."""
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    li = _t(spark, sf_dir, "lineitem")
+    late1 = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60))
+        .select("l_orderkey", "l_suppkey", "l_linenumber")
+    )
+    others = li.select(
+        F.col("l_orderkey").alias("x_orderkey"), F.col("l_suppkey").alias("x_suppkey")
+    )
+    # note: o_orderstatus='F' applies ONLY to the outer order (which `late1`
+    # already enforces); l3's join to o3 re-reads the same order row, so the
+    # anti side reuses late1 projected to distinct (orderkey, suppkey)
+    late_others = late1.select(
+        F.col("l_orderkey").alias("y_orderkey"), F.col("l_suppkey").alias("y_suppkey")
+    ).distinct()
+    cand = late1.join(
+        others,
+        (F.col("x_orderkey") == F.col("l_orderkey"))
+        & (F.col("x_suppkey") != F.col("l_suppkey")),
+        "left_semi",
+    )
+    sole = cand.join(
+        late_others,
+        (F.col("y_orderkey") == F.col("l_orderkey"))
+        & (F.col("y_suppkey") != F.col("l_suppkey")),
+        "left_anti",
+    )
+    return (
+        sole.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(25)
+    )
+
+
+@register(
+    "tpch_q22_global_sales_opportunity",
+    oracle="""
+    WITH avg_bal AS (
+      SELECT avg(c_acctbal) AS a FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c.c_nationkey AS nation_code, count(*) AS numcust,
+           round(sum(c.c_acctbal), 2) AS totacctbal
+    FROM customer c, avg_bal
+    WHERE c.c_acctbal > avg_bal.a
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY c.c_nationkey
+    ORDER BY nation_code
+    """,
+)
+def tpch_q22_global_sales_opportunity(spark, sf_dir):
+    """Q22 shape (adapted: country code = c_nationkey, no phone column):
+    scalar AVG subquery as a comparison bound + NOT EXISTS anti-join to
+    recent orders + final small-domain aggregate ("lapsed high-balance
+    customers"). The scalar avg is a 1-row broadcast cross join (never a
+    driver collect); the anti side is date-pruned at the scan before the
+    custkey anti-join; the groupBy domain is #nations."""
+    c = _t(spark, sf_dir, "customer")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= "2000-01-01")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    avg_bal = c.where(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("a")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("a"))
+        .join(o, "c_custkey", "left_anti")
+        .groupBy(F.col("c_nationkey").alias("nation_code"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("nation_code")
+    )
+
+
+@register(
     "customers_without_orders",
     oracle="""
     SELECT n_name, count(*) AS n_customers
@@ -1031,6 +1226,182 @@ def doc_fingerprint(spark, sf_dir):
             "fingerprint"
         ),
     ).orderBy("doc_id")
+
+
+_TOK_CTES = r"""
+    w AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+          FROM documents),
+    tok AS (SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS pos
+            FROM w),
+    wc AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY doc_id, w)
+"""
+
+
+@register(
+    "repetition_signals",
+    oracle=f"""
+    WITH {_TOK_CTES},
+    wstats AS (
+      SELECT doc_id, sum(c)::BIGINT AS n_words, count(*) AS n_distinct,
+             max(c) AS top_w
+      FROM wc GROUP BY doc_id
+    ),
+    bg AS (
+      SELECT doc_id, w || ' ' || lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS b
+      FROM tok
+    ),
+    bc AS (SELECT doc_id, b, count(*) AS c FROM bg WHERE b IS NOT NULL
+           GROUP BY doc_id, b),
+    bstats AS (SELECT doc_id, max(c) AS top_b, sum(c)::BIGINT AS n_bigrams
+               FROM bc GROUP BY doc_id)
+    SELECT ws.doc_id, ws.n_words,
+           round(ws.n_distinct / ws.n_words::DOUBLE, 4) AS distinct_word_ratio,
+           round(ws.top_w / ws.n_words::DOUBLE, 4) AS top_word_frac,
+           round(bs.top_b / nullif(bs.n_bigrams, 0)::DOUBLE, 4) AS top_bigram_frac
+    FROM wstats ws LEFT JOIN bstats bs ON bs.doc_id = ws.doc_id
+    ORDER BY ws.doc_id
+    """,
+)
+def repetition_signals(spark, sf_dir):
+    """Gopher-style repetition quality signals per document: distinct-word
+    ratio, most-frequent-word fraction, most-frequent-bigram fraction (the
+    "fraction of characters in the top n-gram" family used to drop
+    boilerplate/spam before LLM training). All JVM-side: one posexplode,
+    two keyed aggregations and a lead() window, every shuffle on doc_id so
+    AQE co-partitions the join for free. At 10^12 docs nothing here is
+    quadratic — cost is O(total tokens)."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias(
+            "pos", "w"
+        ),
+    )
+    wc = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+    wstats = wc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_words"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("c").alias("top_w"),
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    bg = tok.select(
+        "doc_id",
+        F.concat(F.col("w"), F.lit(" "), F.lead("w").over(win)).alias("b"),
+    ).where(F.col("b").isNotNull())
+    bstats = (
+        bg.groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_b"), F.sum("c").alias("n_bigrams"))
+    )
+    return (
+        wstats.join(bstats, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            F.round(F.col("n_distinct") / F.col("n_words"), 4).alias(
+                "distinct_word_ratio"
+            ),
+            F.round(F.col("top_w") / F.col("n_words"), 4).alias("top_word_frac"),
+            F.round(
+                F.col("top_b") / F.nullif(F.col("n_bigrams"), F.lit(0)), 4
+            ).alias("top_bigram_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "corpus_vocabulary",
+    oracle=f"""
+    WITH {_TOK_CTES}
+    SELECT w AS word, sum(c)::BIGINT AS tf, count(*) AS df
+    FROM wc GROUP BY w
+    ORDER BY df DESC, tf DESC, word LIMIT 50
+    """,
+)
+def corpus_vocabulary(spark, sf_dir):
+    """Corpus vocabulary TF/DF table, top 50 by document frequency — the
+    "build the stopword list" step that feeds df-capped near-dup joins
+    (see dedup_ngram_jaccard) and tf-idf weighting. Two-level aggregate:
+    (doc, word) partial counts then a word-level rollup, so the second
+    shuffle carries one row per (doc, word), never per token. LIMIT ties
+    are broken by (tf, word) — a total order, deterministic across
+    parallelism levels."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w"),
+    )
+    wc = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        wc.groupBy(F.col("w").alias("word"))
+        .agg(F.sum("c").alias("tf"), F.count(F.lit(1)).alias("df"))
+        .orderBy(F.col("df").desc(), F.col("tf").desc(), "word")
+        .limit(50)
+    )
+
+
+@register(
+    "tfidf_keywords",
+    oracle=f"""
+    WITH {_TOK_CTES},
+    dfs AS (SELECT w, count(*) AS df FROM wc GROUP BY w),
+    nd AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT wc.doc_id, wc.w,
+             round(wc.c * ln(nd.n_docs / dfs.df::DOUBLE), 4) AS score
+      FROM wc JOIN dfs ON dfs.w = wc.w CROSS JOIN nd
+    ),
+    ranked AS (
+      SELECT doc_id, w AS keyword, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, w) AS rank
+      FROM scored
+    )
+    SELECT doc_id, keyword, score, rank::INT AS rank
+    FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank
+    """,
+)
+def tfidf_keywords(spark, sf_dir):
+    """Top-3 tf-idf keywords per document (ranked keyword extraction for
+    search indexing / topic tagging). The document-frequency table is
+    vocab-sized (millions of rows ≈ tens of MB at web scale — natural-
+    language vocabularies grow ~Heaps' law, sublinearly in corpus size),
+    so it is BROADCAST to the (doc, word) counts; the corpus doc count
+    rides along as a broadcast 1-row cross join, never a driver collect.
+    The only wide ops are the two keyed aggregations and the per-doc
+    ranking window, all partitioned on doc_id or word."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w"),
+    )
+    wc = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+    dfs = wc.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    nd = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        wc.join(F.broadcast(dfs), "w")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            F.col("w"),
+            F.round(
+                F.col("c") * F.log(F.col("n_docs") / F.col("df")), 4
+            ).alias("score"),
+        )
+    )
+    win = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "w")
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .where(F.col("rank") <= 3)
+        .select("doc_id", F.col("w").alias("keyword"), "score", "rank")
+        .orderBy("doc_id", "rank")
+    )
 
 
 # ===========================================================================
