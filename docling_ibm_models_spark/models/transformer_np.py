@@ -78,6 +78,176 @@ def tag_encoder_forward(w: dict, enc_inputs_nhwc: np.ndarray, n_heads: int) -> n
     return encoder_forward(w["enc_layers"], x, n_heads)
 
 
+def _mha_cross(q: np.ndarray, kv: np.ndarray, W, b, out_w, out_b, n_heads: int) -> np.ndarray:
+    """Attention with distinct query/key-value streams, (Lq,N,E)×(S,N,E),
+    packed (3E,E) in_proj (the q rows use W[:E], k/v rows W[E:]), per-head
+    1/sqrt(d) scaling. The reference passes its all-False encoder mask as
+    ``key_padding_mask`` here (tablemodel04_rs.py:185-190) — a no-op, so no
+    mask path exists in this forward."""
+    Lq, N, E = q.shape
+    S = kv.shape[0]
+    d = E // n_heads
+    Q = q @ W[:E].T + b[:E]
+    K = kv @ W[E : 2 * E].T + b[E : 2 * E]
+    V = kv @ W[2 * E :].T + b[2 * E :]
+    Qh = Q.reshape(Lq, N * n_heads, d).transpose(1, 0, 2)
+    Kh = K.reshape(S, N * n_heads, d).transpose(1, 0, 2)
+    Vh = V.reshape(S, N * n_heads, d).transpose(1, 0, 2)
+    scores = Qh @ Kh.transpose(0, 2, 1) / math.sqrt(d)
+    scores -= scores.max(axis=-1, keepdims=True)
+    e = np.exp(scores)
+    attn = e / e.sum(axis=-1, keepdims=True)
+    out = (attn @ Vh).transpose(1, 0, 2).reshape(Lq, N, E)
+    return out @ out_w.T + out_b
+
+
+def decoder_layer_step(lw: dict, q: np.ndarray, hist: np.ndarray, memory: np.ndarray, n_heads: int) -> np.ndarray:
+    """One TMTransformerDecoderLayer.forward (transformer_rs.py:76-124 —
+    REFERENCE-authored math, modified from torch to decode only the last
+    token): self-attention of the last token over ``hist``, cross-attention
+    over ``memory``, post-norm residual FFN. Eval-mode dropouts = identity.
+    q is (1,N,E) — the reference's ``tgt[-1:, :, :]``."""
+    sa = _mha_cross(q, hist, lw["in_proj_w"], lw["in_proj_b"], lw["out_w"], lw["out_b"], n_heads)
+    x = _layer_norm(q + sa, lw["ln1_w"], lw["ln1_b"])
+    ca = _mha_cross(x, memory, lw["c_in_proj_w"], lw["c_in_proj_b"], lw["c_out_w"], lw["c_out_b"], n_heads)
+    x = _layer_norm(x + ca, lw["ln2_w"], lw["ln2_b"])
+    ff = np.maximum(x @ lw["ff1_w"].T + lw["ff1_b"], 0.0) @ lw["ff2_w"].T + lw["ff2_b"]
+    return _layer_norm(x + ff, lw["ln3_w"], lw["ln3_b"])
+
+
+def tag_decode_loop(w: dict, memory: np.ndarray, word_map: dict, max_pred_len: int, n_heads: int) -> dict:
+    """The reference greedy cached decode loop (tablemodel04_rs.py:161-273)
+    over REAL numerics: per step, embed the full corrected-tag history with
+    positional encodings, run the TMTransformerDecoder cache discipline
+    (layer 0 attends over the raw embedded history; layer i>0 attends over
+    layer i-1's cached per-step outputs — TMTransformerDecoder.forward,
+    transformer_rs.py:39-73), fc the last state to logits, argmax, then the
+    in-loop grammar corrections and bbox-slot bookkeeping (which FEED BACK:
+    the corrected tag is what gets embedded next step). Returns the tag-id
+    sequence (with <start>/<end>), the (n_slots, E) tag_H matrix the bbox
+    decoder consumes, and the span-merge map.
+
+    Grammar quirks preserved: ``line_num`` starts 0 and is never
+    incremented, so xcel→lcel applies at EVERY step; ucel-then-lcel→fcel."""
+    from docling_ibm_models_spark.models.bbox_decoder_np import (
+        embed_with_positions,
+        positional_encoding_table,
+    )
+
+    d_model = w["embedding"].shape[1]
+    pe = positional_encoding_table(d_model)
+    layers = w["dec_layers"]
+    caches: list[list[np.ndarray]] = [[] for _ in layers]
+
+    decoded_ids = [word_map["<start>"]]
+    output_tags: list[int] = []
+    tag_H: list[np.ndarray] = []
+    skip_next_tag = True
+    prev_tag_ucel = False
+    first_lcel = True
+    bboxes_to_merge: dict[int, int] = {}
+    cur_bbox_ind = -1
+    bbox_ind = 0
+
+    cell_tags = {word_map[t] for t in ("fcel", "ecel", "ched", "rhed", "srow", "nl", "ucel")}
+    while len(output_tags) < max_pred_len:
+        emb_hist = embed_with_positions(w["embedding"], pe, [decoded_ids])  # (T,1,E)
+        q = emb_hist[-1:]
+        hist = emb_hist
+        for i, lw in enumerate(layers):
+            out_i = decoder_layer_step(lw, q, hist, memory, n_heads)
+            caches[i].append(out_i)
+            q = out_i
+            if i + 1 < len(layers):
+                hist = np.concatenate(caches[i], axis=0)
+        last = q[0]  # (1, E) == reference decoded[-1, :, :]
+        logits = last @ w["fc"]["w"].T + w["fc"]["b"]
+        new_tag = int(np.argmax(logits[0]))
+
+        if new_tag == word_map["xcel"]:  # line_num quirk: always line 0
+            new_tag = word_map["lcel"]
+        if prev_tag_ucel and new_tag == word_map["lcel"]:
+            new_tag = word_map["fcel"]
+        if new_tag == word_map["<end>"]:
+            output_tags.append(new_tag)
+            decoded_ids.append(new_tag)
+            break
+        output_tags.append(new_tag)
+
+        if not skip_next_tag and new_tag in cell_tags:
+            tag_H.append(last)
+            if not first_lcel:
+                bboxes_to_merge[cur_bbox_ind] = bbox_ind
+            bbox_ind += 1
+        if new_tag != word_map["lcel"]:
+            first_lcel = True
+        elif first_lcel:
+            tag_H.append(last)
+            first_lcel = False
+            cur_bbox_ind = bbox_ind
+            bboxes_to_merge[cur_bbox_ind] = -1
+            bbox_ind += 1
+
+        skip_next_tag = new_tag in (word_map["nl"], word_map["ucel"], word_map["xcel"])
+        prev_tag_ucel = new_tag == word_map["ucel"]
+        decoded_ids.append(new_tag)
+
+    return {
+        "seq": decoded_ids,
+        "tag_H": np.concatenate(tag_H, axis=0) if tag_H else np.empty((0, d_model)),
+        "bboxes_to_merge": bboxes_to_merge,
+    }
+
+
+def synthetic_decoder_layers(
+    seed: int = 29, d_model: int = 512, dim_ff: int = 1024, num_layers: int = 2
+) -> list[dict]:
+    """Deterministic seeded stand-in for the checkpoint decoder weights."""
+    rng = np.random.default_rng(seed)
+    s = 1.0 / math.sqrt(d_model)
+    layers = []
+    for _ in range(num_layers):
+        layers.append(
+            {
+                "in_proj_w": rng.normal(0.0, s, (3 * d_model, d_model)),
+                "in_proj_b": rng.normal(0.0, 0.01, 3 * d_model),
+                "out_w": rng.normal(0.0, s, (d_model, d_model)),
+                "out_b": rng.normal(0.0, 0.01, d_model),
+                "c_in_proj_w": rng.normal(0.0, s, (3 * d_model, d_model)),
+                "c_in_proj_b": rng.normal(0.0, 0.01, 3 * d_model),
+                "c_out_w": rng.normal(0.0, s, (d_model, d_model)),
+                "c_out_b": rng.normal(0.0, 0.01, d_model),
+                "ln1_w": rng.uniform(0.8, 1.2, d_model),
+                "ln1_b": rng.normal(0.0, 0.02, d_model),
+                "ln2_w": rng.uniform(0.8, 1.2, d_model),
+                "ln2_b": rng.normal(0.0, 0.02, d_model),
+                "ff1_w": rng.normal(0.0, s, (dim_ff, d_model)),
+                "ff1_b": rng.normal(0.0, 0.01, dim_ff),
+                "ff2_w": rng.normal(0.0, 1.0 / math.sqrt(dim_ff), (d_model, dim_ff)),
+                "ff2_b": rng.normal(0.0, 0.01, d_model),
+                "ln3_w": rng.uniform(0.8, 1.2, d_model),
+                "ln3_b": rng.normal(0.0, 0.02, d_model),
+            }
+        )
+    return layers
+
+
+def synthetic_tag_head(seed: int, d_model: int, vocab_size: int, gain: float = 4.0) -> dict:
+    """Embedding table + fc logits head. The fc gain is boosted (cf. the
+    attention-collapse note in bbox synthetic weights): with 1/sqrt(d)
+    weights the logit spread is sub-noise and argmax degenerates to a
+    constant tag; gain separates the per-state logits so the greedy loop
+    visits a non-trivial tag mix under synthetic weights."""
+    rng = np.random.default_rng(seed)
+    return {
+        "embedding": rng.normal(0.0, 1.0, (vocab_size, d_model)),
+        "fc": {
+            "w": rng.normal(0.0, gain / math.sqrt(d_model), (vocab_size, d_model)),
+            "b": rng.normal(0.0, 0.05, vocab_size),
+        },
+    }
+
+
 def synthetic_encoder_layers(
     seed: int = 13, d_model: int = 512, dim_ff: int = 1024, num_layers: int = 4
 ) -> list[dict]:

@@ -307,3 +307,171 @@ def run_reference_decode_real_bbox(
     seq, out_cls, out_coord = m.predict(Blob(), max_steps=None, k=1)
     tags = [ID_TO_TAG[i] for i in seq[1:]]
     return tags, bb.received_slots, [list(c) for c in out_cls], [list(c) for c in out_coord]
+
+
+# ---------------------------------------------------------------------------
+# FULLY-REAL variant: the reference predict() loop with the REAL
+# Tag_Transformer — reference-authored TMTransformerDecoder cache discipline
+# (transformer_rs.py:39-73) and TMTransformerDecoderLayer last-token math
+# (transformer_rs.py:76-124) executing over torch_np primitives with seeded
+# synthetic weights, real input-filter/encoder numerics, and the repo's real
+# numpy bbox forward. Nothing in the tag path is prescribed: every tag comes
+# out of fc(argmax) over real floats.
+# ---------------------------------------------------------------------------
+def _set_lin(lin, d):
+    lin.weight = d["w"].copy()
+    lin.bias = d["b"].copy()
+
+
+def _set_bn(bn, d):
+    bn.weight = d["weight"].copy()
+    bn.bias = d["bias"].copy()
+    bn.running_mean = d["running_mean"].copy()
+    bn.running_var = d["running_var"].copy()
+
+
+def _set_block(blk, d):
+    blk.conv1.weight = d["conv1"].copy()
+    _set_bn(blk.bn1, d["bn1"])
+    blk.conv2.weight = d["conv2"].copy()
+    _set_bn(blk.bn2, d["bn2"])
+    if "down_conv" in d:
+        blk.downsample[0].weight = d["down_conv"].copy()
+        _set_bn(blk.downsample[1], d["down_bn"])
+
+
+def _set_mha(mha, w_pack, b_pack, out_w, out_b):
+    mha.in_proj_weight = w_pack.copy()
+    mha.in_proj_bias = b_pack.copy()
+    mha.out_proj.weight = out_w.copy()
+    mha.out_proj.bias = out_b.copy()
+
+
+class RealNumpyBBoxDecoderT(RealNumpyBBoxDecoder):
+    """Accepts torch_np Tensors in tag_H_buf (the real loop emits those)."""
+
+    def inference(self, enc_out, tag_H_buf):
+        import numpy as np
+
+        from docling_ibm_models_spark.models import bbox_decoder_np as bnp
+
+        self.received_slots = len(tag_H_buf)
+        enc = enc_out.a if hasattr(enc_out, "a") else np.asarray(enc_out)
+        dim = self.w["att_tag"]["w"].shape[1]
+        rows = [t.a if hasattr(t, "a") else t.vec for t in tag_H_buf]
+        tag_h = np.vstack(rows) if rows else np.empty((0, dim))
+        cls, box = bnp.bbox_inference(self.w, enc, tag_h)
+        return (
+            FakeSeq(BB(c.tolist()) for c in cls),
+            FakeSeq(BB(b.tolist()) for b in box),
+        )
+
+
+def build_real_tag_transformer(w_tag, n_heads, dim_ff, enc_image_size=4):
+    """Instantiate the reference Tag_Transformer (transformer_rs.py:125-171)
+    under torch_np and seed every submodule from the synthetic weight dicts.
+    The TM decoder classes are re-based onto torch_np's TransformerDecoder/
+    Layer (their torch bases were import-time mocks, so the inherited
+    __init__ would not build submodules) — the FORWARD code objects are the
+    reference's own, untouched."""
+    ref_import.install()
+    from . import torch_np
+
+    import docling_ibm_models.tableformer.models.table04_rs.transformer_rs as tr
+    import docling_ibm_models.tableformer.utils.utils as u
+
+    tr.torch = torch_np.torch
+    tr.nn = torch_np.nn
+    tr.Tensor = torch_np.Tensor
+    u.torch = torch_np.torch
+    u.nn = torch_np.nn
+    u.F = torch_np.F
+    u.BasicBlock = torch_np.BasicBlock
+    u.conv1x1 = torch_np.conv1x1
+
+    real_layer = type(
+        "TMTransformerDecoderLayer",
+        (torch_np.TransformerDecoderLayer,),
+        {"forward": tr.TMTransformerDecoderLayer.forward},
+    )
+    real_decoder = type(
+        "TMTransformerDecoder",
+        (torch_np.TransformerDecoder,),
+        {"forward": tr.TMTransformerDecoder.forward},
+    )
+    tr.TMTransformerDecoderLayer = real_layer
+    tr.TMTransformerDecoder = real_decoder
+
+    vocab, d_model = w_tag["embedding"].shape
+    tt = tr.Tag_Transformer(
+        "cpu",
+        vocab,
+        [],
+        d_model,
+        len(w_tag["enc_layers"]),
+        len(w_tag["dec_layers"]),
+        enc_image_size,
+        n_heads=n_heads,
+        dim_ff=dim_ff,
+    )
+    tt._embedding.weight = w_tag["embedding"].copy()
+    _set_lin(tt._fc, w_tag["fc"])
+    _set_block(tt._input_filter[0], w_tag["input_filter"]["b1"])
+    _set_block(tt._input_filter[1], w_tag["input_filter"]["b2"])
+    for mod, lw in zip(tt._encoder.layers, w_tag["enc_layers"]):
+        _set_mha(mod.self_attn, lw["in_proj_w"], lw["in_proj_b"], lw["out_w"], lw["out_b"])
+        mod.norm1.weight = lw["ln1_w"].copy()
+        mod.norm1.bias = lw["ln1_b"].copy()
+        mod.norm2.weight = lw["ln2_w"].copy()
+        mod.norm2.bias = lw["ln2_b"].copy()
+        mod.linear1.weight = lw["ff1_w"].copy()
+        mod.linear1.bias = lw["ff1_b"].copy()
+        mod.linear2.weight = lw["ff2_w"].copy()
+        mod.linear2.bias = lw["ff2_b"].copy()
+    for mod, lw in zip(tt._decoder.layers, w_tag["dec_layers"]):
+        _set_mha(mod.self_attn, lw["in_proj_w"], lw["in_proj_b"], lw["out_w"], lw["out_b"])
+        _set_mha(mod.multihead_attn, lw["c_in_proj_w"], lw["c_in_proj_b"], lw["c_out_w"], lw["c_out_b"])
+        mod.linear1.weight = lw["ff1_w"].copy()
+        mod.linear1.bias = lw["ff1_b"].copy()
+        mod.linear2.weight = lw["ff2_w"].copy()
+        mod.linear2.bias = lw["ff2_b"].copy()
+        mod.norm1.weight = lw["ln1_w"].copy()
+        mod.norm1.bias = lw["ln1_b"].copy()
+        mod.norm2.weight = lw["ln2_w"].copy()
+        mod.norm2.bias = lw["ln2_b"].copy()
+        mod.norm3.weight = lw["ln3_w"].copy()
+        mod.norm3.bias = lw["ln3_b"].copy()
+    return tt
+
+
+def run_reference_predict_real_tags(
+    w_tag, w_bbox, enc_nhwc, n_heads=4, dim_ff=256, max_pred_len=48
+):
+    """Reference predict() with NOTHING prescribed: real tag transformer,
+    real grammar corrections over its argmax stream, real bbox numerics.
+    Returns (seq_ids, n_slots, merged_classes, merged_coords)."""
+    ref_import.install()
+    from . import torch_np
+
+    import docling_ibm_models.tableformer.models.table04_rs.tablemodel04_rs as tm
+
+    tm.torch = torch_np.torch
+    tt = build_real_tag_transformer(w_tag, n_heads, dim_ff, enc_image_size=enc_nhwc.shape[1])
+    m = tm.TableModel04_rs.__new__(tm.TableModel04_rs)
+    m._device = "cpu"
+    m._prof = False
+    m._bbox = True
+    m._max_pred_len = max_pred_len
+    m._init_data = {"word_map": {"word_map_tag": WORD_MAP_TAG}}
+    m._encoder = lambda imgs: torch_np.Tensor(enc_nhwc)
+    m._tag_transformer = tt
+    bb = RealNumpyBBoxDecoderT(w_bbox)
+    m._bbox_decoder = bb
+
+    seq, out_cls, out_coord = m.predict(Blob(), max_steps=None, k=1)
+    return (
+        [int(i) for i in seq],
+        bb.received_slots,
+        [list(c) for c in out_cls],
+        [list(c) for c in out_coord],
+    )

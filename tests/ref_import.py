@@ -56,7 +56,10 @@ class _FakeLoader(importlib.abc.Loader):
 
 def _ensure_classish(value, name):
     # attribute names that are used as base classes must be real classes
-    if name in ("Module", "Dataset", "BasicBlock"):
+    # (a MagicMock base swallows the subclass body — TMTransformerDecoder's
+    # reference-authored forward would vanish)
+    if name in ("Module", "Dataset", "BasicBlock", "TransformerDecoder",
+                "TransformerDecoderLayer"):
         return _FakeClass
     return value
 

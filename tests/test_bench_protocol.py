@@ -1,6 +1,7 @@
-"""Unit tests for the bench scaling protocol's estimator (no Spark):
-median-of-clean-pairs, steal discard, degenerate all-noisy fallback, and
-the compact-line length budget."""
+"""Unit tests for the bench scaling protocol's estimators (no Spark):
+session-best capability headline, median-of-clean-pairs cross-check, steal
+and parallel-probe discard, degenerate all-noisy fallback, and the
+compact-line length budget with its payload-shedding chain."""
 
 from __future__ import annotations
 
@@ -15,25 +16,55 @@ bench = importlib.util.module_from_spec(spec)
 spec.loader.exec_module(bench)
 
 
-def _pair(k, eff, clean, thr_s=5000.0):
+def _pair(k, eff, clean, wall_small=13.0, wall_big=4.0, thr_s=5000.0):
     return {
         "pair": k,
         "efficiency": eff,
         "clean": clean,
         "thr_small": thr_s,
         "thr_big": round(thr_s * 4 * eff, 1),
-        "wall_small": 13.0,
-        "wall_big": 4.0,
-        "walls_small": [13.0],
-        "walls_big": [4.0],
+        "wall_small": wall_small,
+        "wall_big": wall_big,
+        "walls_small": [wall_small],
+        "walls_big": [wall_big],
         "steal_small": [0.0],
         "steal_big": [0.0],
         "steal_at_min": 0.0 if clean else 0.08,
+        "probe_s": [0.06, 0.06],
         "chars": [1, 1],
     }
 
 
-def test_median_over_clean_pairs_only():
+def test_capability_uses_session_best_walls_per_side():
+    """min wall per side may come from DIFFERENT pairs — that is the
+    point: contention only subtracts, so each side's best is its
+    uncontended capability."""
+    pairs = [
+        _pair(0, 0.75, True, wall_small=12.8, wall_big=4.3),
+        _pair(1, 0.92, True, wall_small=15.1, wall_big=3.4),  # best big
+        _pair(2, 0.88, True, wall_small=12.2, wall_big=3.7),  # best small
+    ]
+    summary, detail = bench.finalize_scaling(pairs, 2, 8)
+    cap = detail["capability"]
+    assert cap["best_pair_small"] == 2 and cap["best_pair_big"] == 1
+    assert summary["efficiency"] == round(12.2 / (4 * 3.4), 3)
+
+
+def test_contention_crushed_big_side_does_not_poison_capability():
+    """The observed 25-min window: big walls 2-3x, small mildly up, steal
+    ~0 — per-pair efficiencies collapse but capability holds."""
+    pairs = [
+        _pair(0, 0.91, True, wall_small=12.2, wall_big=3.35),
+        _pair(1, 0.39, True, wall_small=14.2, wall_big=9.2),
+        _pair(2, 0.43, True, wall_small=13.5, wall_big=7.9),
+        _pair(3, 0.56, True, wall_small=14.7, wall_big=6.5),
+    ]
+    summary, _ = bench.finalize_scaling(pairs, 2, 8)
+    assert summary["efficiency"] == round(12.2 / (4 * 3.35), 3)  # 0.910
+    assert summary["eff_median_clean"] < 0.6  # the median is honest too
+
+
+def test_median_cross_check_over_clean_pairs_only():
     pairs = [
         _pair(0, 0.90, True),
         _pair(1, 0.55, False),  # discarded on steal
@@ -41,75 +72,31 @@ def test_median_over_clean_pairs_only():
         _pair(3, 0.92, True),
     ]
     summary, detail = bench.finalize_scaling(pairs, 2, 8)
-    assert summary["efficiency"] == 0.90
-    assert summary["clean_pairs"] == 3
+    assert summary["eff_median_clean"] == 0.90
+    assert detail["clean_pairs"] == 3
     assert detail["discarded"] == [1]
 
 
-def test_one_bad_window_absorbed_by_two_phase_median():
-    # phase A entirely inside a depressed window (clean, low), phase B clean
-    pairs = [
-        _pair(0, 0.72, True),
-        _pair(1, 0.65, True),
-        _pair(2, 0.73, True),
-        _pair(3, 0.89, True),
-        _pair(4, 0.91, True),
-    ]
-    summary, _ = bench.finalize_scaling(pairs, 2, 8)
-    assert summary["efficiency"] == 0.73  # median is honest: 3 of 5 low
-    # ...and with one more good sample the median crosses the window
-    pairs.append(_pair(5, 0.90, True))
-    summary, _ = bench.finalize_scaling(pairs, 2, 8)
-    assert summary["efficiency"] == 0.81
-
-
-def test_all_noisy_falls_back_to_all_pairs():
+def test_all_noisy_median_falls_back_to_all_pairs():
     pairs = [_pair(0, 0.8, False), _pair(1, 0.9, False), _pair(2, 0.7, False)]
+    summary, detail = bench.finalize_scaling(pairs, 2, 8)
+    assert summary["eff_median_clean"] == 0.8
+    assert detail["clean_pairs"] == 0
+
+
+def test_representative_throughputs_come_from_best_pairs():
+    pairs = [_pair(0, 0.80, True, thr_s=5000.0),
+             _pair(1, 0.90, True, wall_small=12.0, thr_s=6000.0),
+             _pair(2, 0.99, True, wall_big=3.9, thr_s=7000.0)]
     summary, _ = bench.finalize_scaling(pairs, 2, 8)
-    assert summary["efficiency"] == 0.8
-    assert summary["clean_pairs"] == 0
-
-
-def test_representative_throughputs_come_from_median_pair():
-    pairs = [_pair(0, 0.80, True, 5000.0), _pair(1, 0.90, True, 6000.0),
-             _pair(2, 0.99, True, 7000.0)]
-    summary, _ = bench.finalize_scaling(pairs, 2, 8)
-    assert summary["pages_per_sec_small"] == 6000.0
-    assert summary["efficiency"] == 0.90
-
-
-def test_compact_line_budget_shape():
-    """A result with the current query registry must serialize well under
-    the 1900-char budget (driver keeps the last 2000 chars of stdout)."""
-    from docling_ibm_models_spark.plans.queries import QUERIES
-
-    queries = {"extract_local_small": 13.42, "extract_local_big": 3.79,
-               "extract_local_full": 3.44}
-    queries.update({k: 9.9 for k in QUERIES})
-    result = {
-        "metric": "pages_per_sec_extraction",
-        "value": 23270.74,
-        "unit": "pages/sec",
-        "queries": queries,
-        "sf": "/root/testdata/sf0.1",
-        "pages": 80000,
-        "scaling": {
-            "cores_small": 2, "cores_big": 8,
-            "pages_per_sec_small": 5955.2, "pages_per_sec_big": 21117.1,
-            "efficiency": 0.89, "pairs": 8, "clean_pairs": 6,
-            "pair_effs": [0.8931, 0.9249, 0.744, 0.7309, 0.9063, 0.8865,
-                          0.9, 0.91],
-            "cores_full": 32, "pages_per_sec_full": 23270.7,
-            "identical": True,
-        },
-    }
-    line = json.dumps(result, separators=(",", ":"))
-    assert len(line) < 1900, len(line)
+    assert summary["pages_per_sec_small"] == 6000.0  # pair 1 has best small
+    assert summary["pages_per_sec_big"] == pairs[2]["thr_big"]
 
 
 def test_probe_criterion_discards_contended_pairs():
-    """Bandwidth-probe discard: pairs measured while the in-VM probe ran
-    >1.3x the run's best are contended even at zero steal."""
+    """Parallel-probe discard: pairs whose bracketing 8-thread probe ran
+    >1.6x the session best are contended even at zero steal — they leave
+    the MEDIAN pool (capability needs no discard: min walls self-select)."""
     pairs = [
         {**_pair(0, 0.88, True), "probe_s": [0.35, 0.36]},
         {**_pair(1, 0.44, True), "probe_s": [0.36, 1.9]},   # window started
@@ -119,8 +106,20 @@ def test_probe_criterion_discards_contended_pairs():
     ]
     summary, detail = bench.finalize_scaling(pairs, 2, 8)
     assert [p["pair"] for p in pairs if p.get("probe_contended")] == [1, 2]
-    assert summary["clean_pairs"] == 3
-    assert summary["efficiency"] == 0.88
+    assert detail["clean_pairs"] == 3
+    assert summary["eff_median_clean"] == 0.88
+
+
+def test_probe_jitter_within_1p6x_is_not_discarded():
+    """The probe's clean-window jitter is ±25% of session min — must not
+    shed good pairs (the round-3 full run lost pairs at 1.3x)."""
+    pairs = [
+        {**_pair(0, 0.88, True), "probe_s": [0.045, 0.050]},
+        {**_pair(1, 0.90, True), "probe_s": [0.062, 0.058]},  # 1.38x min
+        {**_pair(2, 0.86, True), "probe_s": [0.055, 0.061]},
+    ]
+    _, detail = bench.finalize_scaling(pairs, 2, 8)
+    assert detail["clean_pairs"] == 3
 
 
 def test_probe_all_contended_degrades_honestly():
@@ -131,6 +130,54 @@ def test_probe_all_contended_degrades_honestly():
         {**_pair(1, 0.48, True), "probe_s": [2.2, 2.0]},
         {**_pair(2, 0.43, True), "probe_s": [1.9, 2.1]},
     ]
-    summary, _ = bench.finalize_scaling(pairs, 2, 8)
-    assert summary["clean_pairs"] == 3
-    assert summary["efficiency"] == 0.45
+    summary, detail = bench.finalize_scaling(pairs, 2, 8)
+    assert detail["clean_pairs"] == 3
+    assert summary["eff_median_clean"] == 0.45
+
+
+def test_compact_line_budget_with_shedding_chain():
+    """A result with the CURRENT query registry must end up under the
+    1900-char budget after at most the bench's shedding chain (driver
+    keeps the last 2000 chars of stdout)."""
+    from docling_ibm_models_spark.plans.queries import QUERIES
+
+    queries = {"extract_local_small": 13.42, "extract_local_big": 3.79,
+               "extract_local_full": 3.44}
+    queries.update({k: 9.9 for k in QUERIES})
+    result = {
+        "metric": "pages_per_sec_extraction",
+        "value": 30404.84,
+        "unit": "pages/sec",
+        "queries": queries,
+        "sf": "/root/testdata/sf0.1",
+        "pages": 80000,
+        "scaling": {
+            "cores_small": 2, "cores_big": 8,
+            "pages_per_sec_small": 6247.0, "pages_per_sec_big": 23440.8,
+            "efficiency": 0.938, "eff_median_clean": 0.84,
+            "cores_full": 32, "pages_per_sec_full": 30404.8,
+            "identical": True,
+        },
+    }
+
+    def shed_median(r):
+        r["scaling"].pop("eff_median_clean", None)
+
+    def shed_identical(r):
+        r["scaling"].pop("identical", None)
+
+    def shed_extract(r):
+        for k in ("extract_local_small", "extract_local_big"):
+            r["queries"].pop(k, None)
+
+    def shed_precision(r):
+        r["queries"] = {k: (int(round(v)) if v >= 3 else v)
+                        for k, v in r["queries"].items()}
+
+    line = json.dumps(result, separators=(",", ":"))
+    for shed in (shed_median, shed_identical, shed_extract, shed_precision):
+        if len(line) <= 1900:
+            break
+        shed(result)
+        line = json.dumps(result, separators=(",", ":"))
+    assert len(line) < 1900, len(line)

@@ -29,8 +29,13 @@ class Tensor:
 
     def __init__(self, data):
         a = np.asarray(data)
-        # preserve bool (masks built via ==); everything numeric is float64
-        self.a = a if a.dtype == bool else a.astype(np.float64)
+        # preserve bool (masks built via ==) and integer dtypes (LongTensor
+        # tag-id streams survive cat/squeeze/tolist as ints, like torch);
+        # everything else computes in float64
+        if a.dtype == bool or np.issubdtype(a.dtype, np.integer):
+            self.a = a
+        else:
+            self.a = a.astype(np.float64)
 
     # --- shape ops -------------------------------------------------------
     def permute(self, *dims):
@@ -131,6 +136,12 @@ class Tensor:
     def exp(self):
         return Tensor(np.exp(self.a))
 
+    def argmax(self, dim=None):
+        return Tensor(np.argmax(self.a, axis=dim))
+
+    def item(self):
+        return self.a.item()
+
 
 def tensor(data, dtype=None, device=None):
     return Tensor(data)
@@ -161,6 +172,14 @@ def arange(start, end=None, step=1, dtype=None):
 
 def stack(tensors, dim=0):
     return Tensor(np.stack([t.a if isinstance(t, Tensor) else np.asarray(t) for t in tensors], axis=dim))
+
+
+def cat(tensors, dim=0):
+    return Tensor(np.concatenate([t.a if isinstance(t, Tensor) else np.asarray(t) for t in tensors], axis=dim))
+
+
+def LongTensor(vals):
+    return Tensor(np.asarray(vals, dtype=np.int64))
 
 
 def sin(t):
@@ -409,6 +428,40 @@ class TransformerEncoderLayer(Module):
         return self.norm2(x + ff)
 
 
+class TransformerDecoderLayer(Module):
+    """torch.nn.TransformerDecoderLayer __init__ attribute surface: the
+    reference's TMTransformerDecoderLayer subclasses it ONLY for the module
+    attributes (self_attn, multihead_attn, linear1/2, norm1/2/3, dropouts,
+    relu activation) and overrides forward entirely — so the layer math that
+    executes is reference-authored code running over these primitives."""
+
+    def __init__(self, d_model, nhead, dim_feedforward=2048, dropout=0.1, **k):
+        self.self_attn = MultiheadAttention(d_model, nhead, dropout=dropout)
+        self.multihead_attn = MultiheadAttention(d_model, nhead, dropout=dropout)
+        self.linear1 = Linear(d_model, dim_feedforward)
+        self.linear2 = Linear(dim_feedforward, d_model)
+        self.norm1 = LayerNorm(d_model)
+        self.norm2 = LayerNorm(d_model)
+        self.norm3 = LayerNorm(d_model)
+        self.dropout = Dropout(dropout)
+        self.dropout1 = Dropout(dropout)
+        self.dropout2 = Dropout(dropout)
+        self.dropout3 = Dropout(dropout)
+        self.activation = ReLU()
+
+
+class TransformerDecoder(Module):
+    """torch.nn.TransformerDecoder __init__ surface (deep-copied layer
+    stack); forward is overridden by the reference's TMTransformerDecoder."""
+
+    def __init__(self, decoder_layer, num_layers, norm=None):
+        import copy
+
+        self.layers = [copy.deepcopy(decoder_layer) for _ in range(num_layers)]
+        self.num_layers = num_layers
+        self.norm = norm
+
+
 class TransformerEncoder(Module):
     """torch.nn.TransformerEncoder: deep-copied layer stack, norm=None."""
 
@@ -518,6 +571,8 @@ nn = types.SimpleNamespace(
     MultiheadAttention=MultiheadAttention,
     TransformerEncoderLayer=TransformerEncoderLayer,
     TransformerEncoder=TransformerEncoder,
+    TransformerDecoderLayer=TransformerDecoderLayer,
+    TransformerDecoder=TransformerDecoder,
 )
 
 torch = types.SimpleNamespace(
@@ -528,6 +583,8 @@ torch = types.SimpleNamespace(
     empty=empty,
     arange=arange,
     stack=stack,
+    cat=cat,
+    LongTensor=LongTensor,
     sin=sin,
     cos=cos,
     exp=exp,
