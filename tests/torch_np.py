@@ -89,6 +89,10 @@ class Tensor:
         return self.a.shape[0]
 
     def __getitem__(self, idx):
+        if isinstance(idx, Tensor):
+            idx = idx.a
+        elif isinstance(idx, tuple):
+            idx = tuple(i.a if isinstance(i, Tensor) else i for i in idx)
         out = self.a[idx]
         return Tensor(out) if isinstance(out, np.ndarray) else out
 
@@ -124,11 +128,11 @@ class Tensor:
     __hash__ = None
 
     # --- reductions / activations ----------------------------------------
-    def mean(self, dim=None):
-        return Tensor(self.a.mean(axis=dim))
+    def mean(self, dim=None, keepdim=False):
+        return Tensor(self.a.mean(axis=dim, keepdims=keepdim))
 
-    def sum(self, dim=None):
-        return Tensor(self.a.sum(axis=dim))
+    def sum(self, dim=None, keepdim=False):
+        return Tensor(self.a.sum(axis=dim, keepdims=keepdim))
 
     def sigmoid(self):
         return Tensor(1.0 / (1.0 + np.exp(-self.a)))
@@ -141,6 +145,26 @@ class Tensor:
 
     def item(self):
         return self.a.item()
+
+    def __matmul__(self, o):
+        return Tensor(self.a @ self._other(o))
+
+    def softmax(self, dim=-1):
+        m = self.a.max(axis=dim, keepdims=True)
+        e = np.exp(self.a - m)
+        return Tensor(e / e.sum(axis=dim, keepdims=True))
+
+    def unbind(self, dim=0):
+        return tuple(Tensor(t) for t in np.moveaxis(self.a, dim, 0))
+
+    def contiguous(self):
+        return self
+
+    def pow(self, p):
+        return Tensor(self.a**p)
+
+    def long(self):
+        return Tensor(self.a.astype(np.int64))
 
 
 def tensor(data, dtype=None, device=None):
@@ -196,6 +220,14 @@ def exp(t):
 
 def sigmoid(t):
     return t.sigmoid()
+
+
+def sqrt(t):
+    return Tensor(np.sqrt(t.a if isinstance(t, Tensor) else t))
+
+
+def einsum(eq, *ops):
+    return Tensor(np.einsum(eq, *[o.a if isinstance(o, Tensor) else np.asarray(o) for o in ops]))
 
 
 # ---------------------------------------------------------------------------
@@ -286,6 +318,20 @@ class Sequential(Module):
         return self.mods[i]
 
 
+class GELU(Module):
+    """torch.nn.GELU default: exact erf form (not the tanh approximation)."""
+
+    def forward(self, x):
+        import math as _m
+
+        erf = np.vectorize(_m.erf)
+        return Tensor(0.5 * x.a * (1.0 + erf(x.a / _m.sqrt(2.0))))
+
+
+def Parameter(t, requires_grad=True):
+    return t
+
+
 class ModuleList(Module):
     def __init__(self, mods=()):
         self.mods = list(mods)
@@ -298,6 +344,9 @@ class ModuleList(Module):
 
     def __len__(self):
         return len(self.mods)
+
+    def append(self, mod):
+        self.mods.append(mod)
 
 
 class BatchNorm2d(Module):
@@ -514,7 +563,16 @@ def _relu_f(x, inplace=False):
     return Tensor(np.maximum(x.a, 0.0))
 
 
-F = types.SimpleNamespace(relu=_relu_f)
+def _pad_f(x, pad, mode="constant", value=0.0):
+    """torch.nn.functional.pad: pad pairs run from the LAST dim backward."""
+    a = x.a if isinstance(x, Tensor) else np.asarray(x)
+    widths = [(0, 0)] * a.ndim
+    for i in range(len(pad) // 2):
+        widths[a.ndim - 1 - i] = (pad[2 * i], pad[2 * i + 1])
+    return Tensor(np.pad(a, widths, constant_values=value))
+
+
+F = types.SimpleNamespace(relu=_relu_f, pad=_pad_f)
 
 
 def conv3x3(in_planes, out_planes, stride=1, groups=1, dilation=1):
@@ -558,6 +616,8 @@ nn = types.SimpleNamespace(
     Module=Module,
     Linear=Linear,
     ReLU=ReLU,
+    GELU=GELU,
+    Parameter=Parameter,
     Sigmoid=Sigmoid,
     Softmax=Softmax,
     Dropout=Dropout,
@@ -589,6 +649,8 @@ torch = types.SimpleNamespace(
     cos=cos,
     exp=exp,
     sigmoid=sigmoid,
+    sqrt=sqrt,
+    einsum=einsum,
     nn=nn,
     float=np.float64,
     float64=np.float64,
