@@ -181,3 +181,60 @@ def resize_img(image: np.ndarray, width: int | None = None, height: int | None =
     else:
         out = out.astype(image.dtype)
     return out, sf
+
+
+# ---------------------------------------------------------------------------
+# Code-formula (M7) preprocessing — SamOptImageProcessor
+# (reference: code_formula_model/models/sam_opt_image_processor.py:11-29:
+# torchvision F.resize on a PIL image → F.to_tensor → F.normalize)
+# ---------------------------------------------------------------------------
+def _pil_triangle_weights(dst: int, src: int):
+    """PIL's bilinear (triangle-filter) resample coefficients, float path
+    (Pillow ImagingResampleHorizontal: support scales with the shrink
+    factor, so downscaling antialiases — unlike cv2 INTER_LINEAR). PIL
+    itself is not installed in this container, so this follows the
+    documented float algorithm; PIL's additional uint8 fixed-point
+    rounding (≤1/255 per channel) is intentionally not reproduced."""
+    scale = src / dst
+    fscale = max(scale, 1.0)
+    support = 1.0 * fscale  # triangle filter support = 1, scaled
+    rows = []
+    for i in range(dst):
+        center = (i + 0.5) * scale
+        lo = max(int(np.floor(center - support)), 0)
+        hi = min(int(np.ceil(center + support)), src)
+        js = np.arange(lo, hi)
+        w = 1.0 - np.abs((js + 0.5 - center) / fscale)
+        w = np.maximum(w, 0.0)
+        rows.append((lo, hi, w / w.sum()))
+    return rows
+
+
+def resize_bilinear_pil(img: np.ndarray, dw: int, dh: int) -> np.ndarray:
+    """Separable PIL-semantics bilinear resize over (H, W[, C]) float."""
+    img = np.asarray(img, dtype=np.float64)
+    h, w = img.shape[:2]
+    out_h = np.empty((h, dw) + img.shape[2:], dtype=np.float64)
+    for i, (lo, hi, wt) in enumerate(_pil_triangle_weights(dw, w)):
+        seg = img[:, lo:hi]
+        out_h[:, i] = np.tensordot(seg, wt, axes=([1], [0]))
+    out = np.empty((dh, dw) + img.shape[2:], dtype=np.float64)
+    for i, (lo, hi, wt) in enumerate(_pil_triangle_weights(dh, h)):
+        out[i] = np.tensordot(out_h[lo:hi], wt, axes=([0], [0]))
+    return out
+
+
+def code_formula_preprocess(
+    img_hwc_uint8: np.ndarray, mean, std, size: tuple[int, int] = (1024, 1024)
+) -> np.ndarray:
+    """SamOptImageProcessor.__call__ chain: resize to ``size`` (PIL
+    bilinear) → to_tensor (HWC uint8 → CHW float /255) → per-channel
+    normalize. ``mean``/``std`` ship with the checkpoint artifacts
+    (code_formula_predictor.py:89 from_pretrained), so they are parameters
+    here. Output (C, H, W) float64, ready for the SAM encoder
+    (models/sam_encoder_np.py)."""
+    x = resize_bilinear_pil(np.asarray(img_hwc_uint8, dtype=np.float64), size[1], size[0])
+    x = x.transpose(2, 0, 1) / 255.0
+    mean = np.asarray(mean, dtype=np.float64)[:, None, None]
+    std = np.asarray(std, dtype=np.float64)[:, None, None]
+    return (x - mean) / std

@@ -10,6 +10,7 @@ import numpy as np
 import pytest
 
 from docling_ibm_models_spark.operators import response_gen
+from docling_ibm_models_spark.operators import image_ops
 from docling_ibm_models_spark.operators.image_ops import resize_img
 
 
@@ -142,3 +143,59 @@ def test_three_channel_zoom_and_bilinear():
     flat = np.zeros((4, 4, 3)); flat[..., 1] = 9.0
     out = resize_bilinear(flat, 7, 5)
     assert np.allclose(out[..., 0], 0) and np.allclose(out[..., 1], 9.0)
+
+
+# ---------------------------------------------------------------------------
+# SamOptImageProcessor preprocessing (M7 input side)
+# ---------------------------------------------------------------------------
+class TestPilBilinearResize:
+    def test_identity_at_same_size(self):
+        rng = np.random.default_rng(5)
+        img = rng.uniform(0, 255, (7, 9, 3))
+        out = image_ops.resize_bilinear_pil(img, 9, 7)
+        np.testing.assert_allclose(out, img, rtol=0, atol=1e-12)
+
+    def test_constant_preserved(self):
+        img = np.full((11, 5, 3), 42.0)
+        out = image_ops.resize_bilinear_pil(img, 13, 4)
+        np.testing.assert_allclose(out, 42.0, rtol=0, atol=1e-12)
+
+    def test_factor2_interior_taps_are_pil_triangle(self):
+        """Interior output pixel at an exact 2x shrink mixes 4 inputs with
+        triangle weights [0.125, 0.375, 0.375, 0.125] — the antialiased
+        support PIL uses and cv2 INTER_LINEAR does not."""
+        img = np.zeros((1, 8))
+        img[0, 2] = 1.0
+        out = image_ops.resize_bilinear_pil(img, 4, 1)
+        # window of output 0 is clipped at the border and renormalized
+        # (weights 0.75/0.75/0.25 over inputs 0..2); interior windows span
+        # 4 taps with triangle weights [0.125, 0.375, 0.375, 0.125]
+        np.testing.assert_allclose(out[0], [0.25 / 1.75, 0.375, 0.0, 0.0], atol=1e-12)
+        img2 = np.zeros((1, 8))
+        img2[0, 3] = 1.0
+        out2 = image_ops.resize_bilinear_pil(img2, 4, 1)
+        np.testing.assert_allclose(out2[0], [0.0, 0.375, 0.125, 0.0], atol=1e-12)
+
+    def test_upscale_matches_classic_bilinear(self):
+        """For scale >= 1 the PIL triangle filter degenerates to classic
+        2-tap half-pixel bilinear — identical to the cv2-semantics
+        resize_bilinear already ported for the TableFormer path."""
+        rng = np.random.default_rng(11)
+        img = rng.uniform(0, 255, (6, 5, 3))
+        a = image_ops.resize_bilinear_pil(img, 11, 14)
+        b = image_ops.resize_bilinear(img, 11, 14)
+        np.testing.assert_allclose(a, b, rtol=1e-12, atol=1e-9)
+
+    def test_code_formula_preprocess_chain(self):
+        """resize → /255 CHW → normalize (sam_opt_image_processor.py:24-28),
+        shape-contracted for the SAM encoder."""
+        rng = np.random.default_rng(13)
+        img = rng.integers(0, 256, (37, 53, 3), dtype=np.uint8)
+        mean, std = (0.485, 0.456, 0.406), (0.229, 0.224, 0.225)
+        out = image_ops.code_formula_preprocess(img, mean, std, size=(64, 64))
+        assert out.shape == (3, 64, 64)
+        # undo normalize on a constant image → exact pixel recovery
+        const = np.full((10, 10, 3), 128, dtype=np.uint8)
+        out_c = image_ops.code_formula_preprocess(const, mean, std, size=(16, 16))
+        recovered = out_c * np.asarray(std)[:, None, None] + np.asarray(mean)[:, None, None]
+        np.testing.assert_allclose(recovered, 128 / 255.0, atol=1e-12)
