@@ -20,6 +20,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from docling_ibm_models_spark import schemas
 from docling_ibm_models_spark.models import harness
@@ -199,3 +200,49 @@ def table_structure_stage(
                 yield pd.DataFrame(rows)
 
     return page_recs.mapInPandas(gen, schema=schemas.TABLES)
+
+
+def code_formula_stage(clusters: DataFrame, weights_bc) -> DataFrame:
+    """M7 — layout clusters labeled Code/Formula → text + REAL SAM vision
+    features. The vision tower runs the full ported numeric path per
+    region (SamOptImageProcessor preprocessing → SAM ViT forward,
+    reference parity — models/sam_encoder_np.py); the OPT generate is a
+    deterministic fake seeded by those features. Executor-singleton +
+    broadcast weights, same serving shape as the other model stages. The
+    feature head/norm are rounded to 6dp so the stage signature is stable
+    across BLAS threading configurations."""
+    from docling_ibm_models_spark.models.aux_predictors import CodeFormulaVisionTower
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        model = harness.get_or_create(
+            "code_formula", lambda: CodeFormulaVisionTower(weights_bc.value)
+        )
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            payloads = [
+                f"{r.url}|{int(r.page_no)}|{r.l:.4f},{r.t:.4f},{r.r:.4f},{r.b:.4f}".encode()
+                for r in pdf.itertuples()
+            ]
+            labels = ["code" if lb == "Code" else "formula" for lb in pdf["label"]]
+            texts, feats = model.predict(payloads, labels)
+            rows = []
+            for r, text, f in zip(pdf.itertuples(), texts, feats):
+                rows.append(
+                    {
+                        "url": r.url,
+                        "page_no": int(r.page_no),
+                        "label": r.label,
+                        "l": float(r.l),
+                        "t": float(r.t),
+                        "r": float(r.r),
+                        "b": float(r.b),
+                        "text": text,
+                        "feat_norm": round(float((f * f).sum() ** 0.5), 6),
+                        "feat_head": [round(float(v), 6) for v in f[:4]],
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    region = clusters.where(F.col("label").isin("Code", "Formula"))
+    return region.mapInPandas(gen, schema=schemas.CODE_FORMULA)

@@ -2615,6 +2615,7 @@ _PINNED_SIGS = {
     "pipeline_layout_clusters": (1103, "d5b36eae5d9454367e840d40e7798c55"),
     "pipeline_table_cells": (104, "a7ed724715dd3c1367a56d26522ba88f"),
     "pipeline_reading_order": (595, "0b4af5e60ff2719aaf0319b2d8cbec11"),
+    "pipeline_code_formula": (113, "e955e1c76c04f6e16630e56e22120963"),
 }
 
 _SIG_ORACLE = "SELECT {n}::BIGINT AS n_rows, '{sig}' AS sig"
@@ -2632,6 +2633,33 @@ def pipeline_layout_clusters(spark, sf_dir):
     harness) → canonical signature of the exploded clusters (golden pinned
     at sf0.01; determinism gate across runs and parallelism levels)."""
     df = _layout_clusters_df(spark, sf_dir)
+    return _signature(df, sorted(df.columns))
+
+
+@register(
+    "pipeline_code_formula",
+    oracle=_SIG_ORACLE.format(
+        n=_PINNED_SIGS["pipeline_code_formula"][0],
+        sig=_PINNED_SIGS["pipeline_code_formula"][1],
+    ),
+)
+def pipeline_code_formula(spark, sf_dir):
+    """pages → layout stage → Code/Formula regions → M7 stage: the REAL
+    ported vision path per region (SamOptImageProcessor preprocessing →
+    numpy SAM ViT forward with reference parity) + deterministic generate
+    seeded by the real features → canonical signature (golden pinned at
+    sf0.01). Scale shape: a narrow mapInPandas over the cluster rows —
+    model weights broadcast once, built once per executor."""
+    from docling_ibm_models_spark.models import harness
+    from docling_ibm_models_spark.models.aux_predictors import default_vision_weights
+    from docling_ibm_models_spark.pipeline.stages import code_formula_stage
+
+    clusters = _layout_clusters_df(spark, sf_dir)
+    bc = harness.broadcast_weights(spark, default_vision_weights())
+    df = code_formula_stage(clusters, bc).select(
+        "url", "page_no", "label", "text", "feat_norm",
+        F.round(F.element_at("feat_head", 1), 6).alias("f0"),
+    )
     return _signature(df, sorted(df.columns))
 
 

@@ -170,6 +170,22 @@ TABLES = StructType(
     ]
 )
 
+# M7 code/formula stage output (real SAM vision features + generated text)
+CODE_FORMULA = StructType(
+    [
+        StructField("url", StringType(), False),
+        StructField("page_no", IntegerType(), False),
+        StructField("label", StringType(), False),
+        StructField("l", DoubleType(), False),
+        StructField("t", DoubleType(), False),
+        StructField("r", DoubleType(), False),
+        StructField("b", DoubleType(), False),
+        StructField("text", StringType(), False),
+        StructField("feat_norm", DoubleType(), False),
+        StructField("feat_head", ArrayType(DoubleType()), False),
+    ]
+)
+
 # Reading-order input elements (reference reading_order_rb.py:18-46)
 PAGE_ELEMENT = StructType(
     [

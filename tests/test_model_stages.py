@@ -163,3 +163,43 @@ def test_quantized_weight_broadcast_roundtrip(spark):
         scale = q[k]["scale"]
         assert np.max(np.abs(d[k] - w[k])) <= scale / 2 + 1e-7, k
     assert d["grid_bias"] == 3
+
+
+def test_code_formula_stage_real_vision_path(spark, page_recs):
+    """M7 stage: Code/Formula clusters → real preprocessing + SAM forward
+    (parity-tested numerics) → text + features. The Spark-served features
+    must equal a driver-side CodeFormulaVisionTower.encode on the same
+    payload, and the stage must be deterministic across repeated runs."""
+    import numpy as np
+
+    from docling_ibm_models_spark.models.aux_predictors import (
+        CodeFormulaVisionTower,
+        default_vision_weights,
+    )
+    from docling_ibm_models_spark.pipeline.stages import code_formula_stage
+
+    w = default_vision_weights()
+    bc = harness.broadcast_weights(spark, w)
+    clusters = layout_stage(page_recs, harness.broadcast_weights(spark, layout_w()))
+    out = code_formula_stage(clusters, bc)
+    rows = out.collect()
+    assert rows, "no Code/Formula regions in the test slice"
+    assert {r.label for r in rows} <= {"Code", "Formula"}
+    for r in rows[:5]:
+        assert r.feat_norm > 0
+        assert len(r.feat_head) == 4
+        assert r.text
+    # driver-side replay of one row's payload
+    r0 = rows[0]
+    payload = f"{r0.url}|{r0.page_no}|{r0.l:.4f},{r0.t:.4f},{r0.r:.4f},{r0.b:.4f}".encode()
+    tower = CodeFormulaVisionTower(w)
+    f = tower.encode(payload)
+    assert round(float(np.sqrt((f * f).sum())), 6) == r0.feat_norm
+    assert [round(float(v), 6) for v in f[:4]] == list(r0.feat_head)
+    # determinism across a second run
+    rows2 = code_formula_stage(clusters, bc).collect()
+    key = lambda r: (r.url, r.page_no, r.l, r.t)
+    assert sorted(map(key, rows)) == sorted(map(key, rows2))
+    m2 = {key(r): (r.text, r.feat_norm, tuple(r.feat_head)) for r in rows2}
+    for r in rows:
+        assert m2[key(r)] == (r.text, r.feat_norm, tuple(r.feat_head))

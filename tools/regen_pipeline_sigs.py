@@ -26,6 +26,7 @@ def main():
         "pipeline_layout_clusters",
         "pipeline_table_cells",
         "pipeline_reading_order",
+        "pipeline_code_formula",
     ):
         row = Q.QUERIES[name](spark, SF).collect()[0]
         vals[name] = (int(row["n_rows"]), str(row["sig"]))
