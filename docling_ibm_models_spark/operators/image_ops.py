@@ -238,3 +238,17 @@ def code_formula_preprocess(
     mean = np.asarray(mean, dtype=np.float64)[:, None, None]
     std = np.asarray(std, dtype=np.float64)[:, None, None]
     return (x - mean) / std
+
+
+# M8 figure-classifier preprocessing constants — hardcoded in the reference
+# (document_figure_classifier_predictor.py:92-99)
+FIGURE_MEAN = (0.485, 0.456, 0.406)
+FIGURE_STD = (0.47853944, 0.4732864, 0.47434163)
+
+
+def figure_classifier_preprocess(img_hwc_uint8: np.ndarray) -> np.ndarray:
+    """document_figure_classifier_predictor.py:92-99: torchvision
+    Compose(Resize((224,224)), ToTensor, Normalize(mean, std)) — the same
+    PIL-bilinear → /255 CHW → per-channel normalize chain as the
+    code-formula processor, with the reference's hardcoded constants."""
+    return code_formula_preprocess(img_hwc_uint8, FIGURE_MEAN, FIGURE_STD, size=(224, 224))

@@ -199,3 +199,17 @@ class TestPilBilinearResize:
         out_c = image_ops.code_formula_preprocess(const, mean, std, size=(16, 16))
         recovered = out_c * np.asarray(std)[:, None, None] + np.asarray(mean)[:, None, None]
         np.testing.assert_allclose(recovered, 128 / 255.0, atol=1e-12)
+
+    def test_figure_classifier_preprocess_constants(self):
+        """M8 chain (document_figure_classifier_predictor.py:92-99): the
+        reference-hardcoded normalize constants and 224x224 target."""
+        rng = np.random.default_rng(29)
+        img = rng.integers(0, 256, (30, 40, 3), dtype=np.uint8)
+        out = image_ops.figure_classifier_preprocess(img)
+        assert out.shape == (3, 224, 224)
+        const = np.full((10, 10, 3), 64, dtype=np.uint8)
+        out_c = image_ops.figure_classifier_preprocess(const)
+        rec = out_c * np.asarray(image_ops.FIGURE_STD)[:, None, None] + np.asarray(
+            image_ops.FIGURE_MEAN
+        )[:, None, None]
+        np.testing.assert_allclose(rec, 64 / 255.0, atol=1e-12)
