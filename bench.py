@@ -497,8 +497,17 @@ def main() -> None:
             k: (int(round(v)) if v >= 3 else v) for k, v in r["queries"].items()
         }
 
+    def _shed_fast_queries(r):
+        # last resort as the registry grows: keep the slowest queries (the
+        # ones a perf reader needs) and say how many were omitted; the
+        # full per-query walls always live in BENCH_DETAIL.json
+        keep = dict(sorted(r["queries"].items(), key=lambda kv: -kv[1])[:40])
+        r["q_omitted"] = len(r["queries"]) - len(keep)
+        r["queries"] = keep
+
     line = json.dumps(result, separators=(",", ":"))
-    for shed in (_shed_median, _shed_identical, _shed_extract_walls, _shed_query_precision):
+    for shed in (_shed_median, _shed_identical, _shed_extract_walls,
+                 _shed_query_precision, _shed_fast_queries):
         if len(line) <= 1900:
             break
         shed(result)
