@@ -498,11 +498,21 @@ def main() -> None:
         }
 
     def _shed_fast_queries(r):
-        # last resort as the registry grows: keep the slowest queries (the
-        # ones a perf reader needs) and say how many were omitted; the
-        # full per-query walls always live in BENCH_DETAIL.json
-        keep = dict(sorted(r["queries"].items(), key=lambda kv: -kv[1])[:40])
-        r["q_omitted"] = len(r["queries"]) - len(keep)
+        # last resort as the registry grows: keep as many of the SLOWEST
+        # queries as fit (the ones a perf reader needs) and say how many
+        # were omitted; full per-query walls always in BENCH_DETAIL.json
+        ordered = sorted(r["queries"].items(), key=lambda kv: -kv[1])
+        total = len(ordered)
+        base = {**r, "queries": {}, "q_omitted": total}
+        budget = 1870 - len(json.dumps(base, separators=(",", ":")))
+        keep = {}
+        for k, v in ordered:
+            cost = len(json.dumps({k: v}, separators=(",", ":"))) - 1
+            if budget - cost < 0:
+                break
+            budget -= cost
+            keep[k] = v
+        r["q_omitted"] = total - len(keep)
         r["queries"] = keep
 
     line = json.dumps(result, separators=(",", ":"))

@@ -175,8 +175,18 @@ def test_compact_line_budget_with_shedding_chain():
                         for k, v in r["queries"].items()}
 
     def shed_fast(r):
-        keep = dict(sorted(r["queries"].items(), key=lambda kv: -kv[1])[:40])
-        r["q_omitted"] = len(r["queries"]) - len(keep)
+        ordered = sorted(r["queries"].items(), key=lambda kv: -kv[1])
+        total = len(ordered)
+        base = {**r, "queries": {}, "q_omitted": total}
+        budget = 1870 - len(json.dumps(base, separators=(",", ":")))
+        keep = {}
+        for k, v in ordered:
+            cost = len(json.dumps({k: v}, separators=(",", ":"))) - 1
+            if budget - cost < 0:
+                break
+            budget -= cost
+            keep[k] = v
+        r["q_omitted"] = total - len(keep)
         r["queries"] = keep
 
     line = json.dumps(result, separators=(",", ":"))
@@ -186,3 +196,7 @@ def test_compact_line_budget_with_shedding_chain():
         shed(result)
         line = json.dumps(result, separators=(",", ":"))
     assert len(line) < 1900, len(line)
+    # the adaptive final shed fills the budget instead of over-shedding
+    if "q_omitted" in result:
+        assert len(line) > 1700, len(line)
+        assert result["q_omitted"] <= 20, result["q_omitted"]
