@@ -130,3 +130,48 @@ def test_q2_min_rejoin_shares_partitioning(spark):
     n_exchanges = plan.count("Exchange hashpartitioning")
     assert n_exchanges <= 3, f"q2 plan has {n_exchanges} hash exchanges"
     assert "CartesianProduct" not in plan
+
+
+def test_new_tpch_shapes_plan_quality(spark):
+    """The round-3 TPC-H additions keep their designed physical shapes:
+    dims broadcast (no SortMergeJoin against a small side), anti/semi
+    joins hash-based, scalar subqueries ride broadcast joins — and no
+    Python nodes anywhere."""
+    # q16: NOT IN == broadcast anti hash join
+    plan = plan_of(QUERIES["tpch_q16_supplier_count"](spark, SF_MED))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan[:500]
+    # q21: one semi + one anti over the same fact table, both hash joins
+    plan = plan_of(QUERIES["tpch_q21_waiting_supplier"](spark, SF_MED))
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # q15 / q11: the derived view's scalar rides a broadcast join — the
+    # plan must NOT contain a cartesian product
+    for name in ("tpch_q15_top_supplier", "tpch_q11_important_stock"):
+        plan = plan_of(QUERIES[name](spark, SF_MED))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, name
+    # q5 / q7 / q8 / q10: snowflake dims broadcast
+    for name in (
+        "tpch_q5_local_supplier_volume",
+        "tpch_q7_nation_volume_shipping",
+        "tpch_q8_market_share",
+        "tpch_q10_returned_items",
+    ):
+        plan = plan_of(QUERIES[name](spark, SF_MED))
+        assert "BroadcastHashJoin" in plan, name
+        assert "BatchEvalPython" not in plan, name
+    # q19: Catalyst derives the disjunction's fact-side hull and pushes
+    # a quantity filter into the lineitem scan
+    plan = plan_of(QUERIES["tpch_q19_disjunctive_revenue"](spark, SF_MED))
+    assert "l_quantity" in plan.split("PushedFilters", 1)[-1].split("\n")[0], (
+        "q19 hull predicate not pushed to scan"
+    )
+
+
+def test_corpus_text_queries_stay_jvm_side(spark):
+    """repetition/vocabulary/tfidf are pure JVM exprs + keyed aggs."""
+    for name in ("repetition_signals", "corpus_vocabulary", "tfidf_keywords"):
+        plan = plan_of(QUERIES[name](spark, SF_MED))
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+        assert "HashAggregate" in plan, name
