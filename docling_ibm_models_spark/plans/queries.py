@@ -2846,6 +2846,7 @@ _PINNED_SIGS = {
     "pipeline_table_cells": (104, "a7ed724715dd3c1367a56d26522ba88f"),
     "pipeline_reading_order": (595, "0b4af5e60ff2719aaf0319b2d8cbec11"),
     "pipeline_code_formula": (113, "e955e1c76c04f6e16630e56e22120963"),
+    "pipeline_figure_classes": (79, "381f258853ee96d8989065a74f8b0491"),
 }
 
 _SIG_ORACLE = "SELECT {n}::BIGINT AS n_rows, '{sig}' AS sig"
@@ -2863,6 +2864,31 @@ def pipeline_layout_clusters(spark, sf_dir):
     harness) → canonical signature of the exploded clusters (golden pinned
     at sf0.01; determinism gate across runs and parallelism levels)."""
     df = _layout_clusters_df(spark, sf_dir)
+    return _signature(df, sorted(df.columns))
+
+
+@register(
+    "pipeline_figure_classes",
+    oracle=_SIG_ORACLE.format(
+        n=_PINNED_SIGS["pipeline_figure_classes"][0],
+        sig=_PINNED_SIGS["pipeline_figure_classes"][1],
+    ),
+)
+def pipeline_figure_classes(spark, sf_dir):
+    """pages → layout stage → Picture regions → M8 stage: the REAL
+    reference-hardcoded preprocessing (Resize-224 PIL-bilinear → ToTensor
+    → Normalize, document_figure_classifier_predictor.py:92-99) per
+    region, stubbed forward seeded by the real tensor, real A13 top-k →
+    canonical signature (golden pinned at sf0.01)."""
+    from docling_ibm_models_spark.models import harness
+    from docling_ibm_models_spark.pipeline.stages import figure_classifier_stage
+
+    clusters = _layout_clusters_df(spark, sf_dir)
+    bc = harness.broadcast_weights(spark, {})
+    df = figure_classifier_stage(clusters, bc).select(
+        "url", "page_no", "figure_class", "confidence",
+        F.concat_ws(",", "top3").alias("top3_csv"),
+    )
     return _signature(df, sorted(df.columns))
 
 

@@ -170,6 +170,19 @@ TABLES = StructType(
     ]
 )
 
+# M8 figure-classifier stage output (real preprocessing + stubbed forward)
+FIGURE_CLASS = StructType(
+    [
+        StructField("url", StringType(), False),
+        StructField("page_no", IntegerType(), False),
+        StructField("l", DoubleType(), False),
+        StructField("t", DoubleType(), False),
+        StructField("figure_class", StringType(), False),
+        StructField("confidence", DoubleType(), False),
+        StructField("top3", ArrayType(StringType()), False),
+    ]
+)
+
 # M7 code/formula stage output (real SAM vision features + generated text)
 CODE_FORMULA = StructType(
     [

@@ -203,3 +203,32 @@ def test_code_formula_stage_real_vision_path(spark, page_recs):
     m2 = {key(r): (r.text, r.feat_norm, tuple(r.feat_head)) for r in rows2}
     for r in rows:
         assert m2[key(r)] == (r.text, r.feat_norm, tuple(r.feat_head))
+
+
+def test_figure_classifier_stage_real_preprocessing(spark, page_recs):
+    """M8 stage: Picture clusters → real Resize-224/Normalize chain →
+    stubbed forward → A13 top-k. Served output must equal a driver-side
+    FigureClassifierVision replay and be deterministic."""
+    from docling_ibm_models_spark.models.aux_predictors import (
+        FIGURE_CLASSES,
+        FigureClassifierVision,
+    )
+    from docling_ibm_models_spark.pipeline.stages import figure_classifier_stage
+
+    bc = harness.broadcast_weights(spark, {})
+    clusters = layout_stage(page_recs, harness.broadcast_weights(spark, layout_w()))
+    rows = figure_classifier_stage(clusters, bc).collect()
+    assert rows, "no Picture regions in the test slice"
+    for r in rows[:5]:
+        assert r.figure_class in FIGURE_CLASSES
+        assert 0.0 < r.confidence <= 1.0
+        assert len(r.top3) == 3 and r.top3[0] == r.figure_class
+    r0 = rows[0]
+    payload = f"{r0.url}|{r0.page_no}|{r0.l:.4f},{r0.t:.4f}".encode()
+    # the stage payload embeds r,b too — recompute exactly as the stage does
+    cl = [c for c in clusters.collect()
+          if c.label == "Picture" and c.url == r0.url and c.l == r0.l and c.t == r0.t][0]
+    payload = f"{cl.url}|{cl.page_no}|{cl.l:.4f},{cl.t:.4f},{cl.r:.4f},{cl.b:.4f}".encode()
+    topk = FigureClassifierVision({}).predict([payload])[0]
+    assert topk[0][0] == r0.figure_class
+    assert round(float(topk[0][1]), 6) == r0.confidence

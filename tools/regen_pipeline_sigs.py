@@ -27,6 +27,7 @@ def main():
         "pipeline_table_cells",
         "pipeline_reading_order",
         "pipeline_code_formula",
+        "pipeline_figure_classes",
     ):
         row = Q.QUERIES[name](spark, SF).collect()[0]
         vals[name] = (int(row["n_rows"]), str(row["sig"]))
