@@ -2000,6 +2000,11 @@ def dedup_clusters(spark, sf_dir):
             "label", F.col("doc")
         ).persist()
         cached.append(labels)
+        # convergence test: per-node labels are monotonically non-increasing
+        # under min-propagation, so sum(label) strictly decreases iff ANY
+        # node changed — one aggregation per round instead of a self-join +
+        # count (each round's only action)
+        prev_sum = labels.agg(F.sum("label")).collect()[0][0]
         while True:
             neighbor_min = (
                 edges.join(labels, edges.b == labels.doc)
@@ -2017,15 +2022,11 @@ def dedup_clusters(spark, sf_dir):
                 .persist()
             )
             cached.append(new_labels)
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "doc")
-                .where(F.col("n.label") != F.col("o.label"))
-                .count()
-            )
+            cur_sum = new_labels.agg(F.sum("label")).collect()[0][0]
             labels = new_labels
-            if changed == 0:
+            if cur_sum == prev_sum:
                 break
+            prev_sum = cur_sum
         rows = labels.select(
             F.col("doc").alias("doc_id"),
             F.col("label").cast("long").alias("cluster_id"),
