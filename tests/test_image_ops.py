@@ -213,3 +213,18 @@ class TestPilBilinearResize:
             image_ops.FIGURE_MEAN
         )[:, None, None]
         np.testing.assert_allclose(rec, 64 / 255.0, atol=1e-12)
+
+    def test_pil_partition_of_unity_property(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=60, deadline=None)
+        @given(src_h=st.integers(1, 37), src_w=st.integers(1, 37),
+               dst_h=st.integers(1, 37), dst_w=st.integers(1, 37))
+        def prop(src_h, src_w, dst_h, dst_w):
+            img = np.full((src_h, src_w), 7.0)
+            out = image_ops.resize_bilinear_pil(img, dst_w, dst_h)
+            assert out.shape == (dst_h, dst_w)
+            np.testing.assert_allclose(out, 7.0, rtol=0, atol=1e-10)
+
+        prop()
