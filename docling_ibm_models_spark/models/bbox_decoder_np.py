@@ -36,6 +36,24 @@ BN_EPS = 1e-5
 # ---------------------------------------------------------------------------
 # primitives (exact float64; public conv/BN semantics)
 # ---------------------------------------------------------------------------
+# conv weights are constants reused across every forward in a worker's
+# lifetime, but the im2col layout needs them repacked (two full copies —
+# ~75 MB of traffic per call for a (1024,512,3,3) kernel, which dominated
+# small-map forwards). Cache the packed form per weight tensor; the
+# `is`-identity check guards against id() reuse after gc.
+_PACKED_W: dict = {}
+
+
+def _packed_weight(w: np.ndarray) -> np.ndarray:
+    hit = _PACKED_W.get(id(w))
+    if hit is not None and hit[0] is w:
+        return hit[1]
+    oc, c, kh, kw = w.shape
+    w2 = w.transpose(2, 3, 0, 1).reshape(kh * kw, oc, c).transpose(1, 0, 2).reshape(oc, kh * kw * c)
+    _PACKED_W[id(w)] = (w, w2)
+    return w2
+
+
 def conv2d(x: np.ndarray, w: np.ndarray, stride: int = 1, padding: int = 0) -> np.ndarray:
     """Cross-correlation, NCHW, no bias (both convs in the block are
     bias-free). im2col + one BLAS matmul — numpy's einsum takes its naive
@@ -53,8 +71,7 @@ def conv2d(x: np.ndarray, w: np.ndarray, stride: int = 1, padding: int = 0) -> n
             patch = xp[:, :, i : i + oh * stride : stride, j : j + ow * stride : stride]
             cols[:, k * c : (k + 1) * c, :] = patch.reshape(n, c, oh * ow)
             k += 1
-    w2 = w.transpose(2, 3, 0, 1).reshape(kh * kw, oc, c).transpose(1, 0, 2).reshape(oc, kh * kw * c)
-    out = np.matmul(w2, cols)  # (n, oc, oh*ow) via broadcast matmul
+    out = np.matmul(_packed_weight(w), cols)  # (n, oc, oh*ow) broadcast matmul
     return out.reshape(n, oc, oh, ow)
 
 

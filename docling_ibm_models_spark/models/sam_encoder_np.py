@@ -143,20 +143,42 @@ def block_forward(x: np.ndarray, bw: dict, num_heads: int) -> np.ndarray:
     return x + (mlp @ bw["mlp2_w"].T + bw["mlp2_b"])
 
 
+def _patch_conv(x_nchw: np.ndarray, w: np.ndarray) -> np.ndarray:
+    """Non-overlapping conv (stride == kernel, pad 0) as ONE matmul: the
+    16x16 patch embed dominated encode() wall under the generic per-kernel-
+    position loop (256 slice iterations). Returns NHWC. Same sums as the
+    generic conv, associativity differences ~1e-13 relative (parity budget
+    1e-10)."""
+    N, C, H, W = x_nchw.shape
+    E, _, kh, kw = w.shape
+    gh, gw = H // kh, W // kw
+    blocks = (
+        x_nchw.reshape(N, C, gh, kh, gw, kw)
+        .transpose(0, 2, 4, 1, 3, 5)
+        .reshape(N, gh * gw, C * kh * kw)
+    )
+    return (blocks @ w.reshape(E, -1).T).reshape(N, gh, gw, E)
+
+
+def _conv1x1(x_nchw: np.ndarray, w: np.ndarray) -> np.ndarray:
+    """1x1 conv as a channel matmul (NCHW in/out)."""
+    N, C, H, W = x_nchw.shape
+    out = np.tensordot(w[:, :, 0, 0], x_nchw, axes=([1], [1]))  # (O, N, H, W)
+    return out.transpose(1, 0, 2, 3)
+
+
 def sam_encoder_forward(w: dict, x_nchw: np.ndarray, num_heads: int) -> np.ndarray:
     """sam.py:158-171 ImageEncoderViT.forward: patch embed (conv stride =
     kernel = patch) → +abs pos → blocks → neck (1x1 conv, LayerNorm2d, 3x3
     conv, LayerNorm2d) → net_2/net_3 stride-2 downsampling (the Vary-toy
     tail). Returns NCHW features."""
-    x = conv2d(x_nchw, w["patch_w"], stride=w["patch_w"].shape[-1], padding=0)
-    x = x + w["patch_b"][None, :, None, None]
-    x = x.transpose(0, 2, 3, 1)  # B H W C
+    x = _patch_conv(x_nchw, w["patch_w"]) + w["patch_b"]  # B H W C
     if w.get("pos_embed") is not None:
         x = x + w["pos_embed"]
     for bw in w["blocks"]:
         x = block_forward(x, bw, num_heads)
     x = x.transpose(0, 3, 1, 2)
-    x = conv2d(x, w["neck1_w"], stride=1, padding=0)
+    x = _conv1x1(x, w["neck1_w"])
     x = layer_norm_2d(x, w["neck_ln1_w"], w["neck_ln1_b"])
     x = conv2d(x, w["neck2_w"], stride=1, padding=1)
     x = layer_norm_2d(x, w["neck_ln2_w"], w["neck_ln2_b"])
