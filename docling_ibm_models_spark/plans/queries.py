@@ -2848,6 +2848,7 @@ _PINNED_SIGS = {
     "pipeline_reading_order": (595, "0b4af5e60ff2719aaf0319b2d8cbec11"),
     "pipeline_code_formula": (113, "e955e1c76c04f6e16630e56e22120963"),
     "pipeline_figure_classes": (79, "381f258853ee96d8989065a74f8b0491"),
+    "pipeline_doc_assembly": (1103, "8d41000c4f0cb6cc187566c7363ae195"),
 }
 
 _SIG_ORACLE = "SELECT {n}::BIGINT AS n_rows, '{sig}' AS sig"
@@ -2865,6 +2866,49 @@ def pipeline_layout_clusters(spark, sf_dir):
     harness) → canonical signature of the exploded clusters (golden pinned
     at sf0.01; determinism gate across runs and parallelism levels)."""
     df = _layout_clusters_df(spark, sf_dir)
+    return _signature(df, sorted(df.columns))
+
+
+@register(
+    "pipeline_doc_assembly",
+    oracle=_SIG_ORACLE.format(
+        n=_PINNED_SIGS["pipeline_doc_assembly"][0],
+        sig=_PINNED_SIGS["pipeline_doc_assembly"][1],
+    ),
+)
+def pipeline_doc_assembly(spark, sf_dir):
+    """END-TO-END integration: pages → REAL layout stage → the REAL
+    reading-order operator (O1-O4, reference parity) over the detected
+    clusters — the closest analogue of the reference's full convert()
+    path, vs pipeline_reading_order which exercises the operator over
+    synthetic elements. Labels map to the docling lowercase convention;
+    cid is a deterministic per-page geometric rank. Canonical signature
+    pinned at sf0.01 (parallelism-independent)."""
+    from pyspark.sql import Window
+
+    from docling_ibm_models_spark.pipeline.doc_assembly import order_elements
+
+    clusters = _layout_clusters_df(spark, sf_dir)
+    win = Window.partitionBy("url", "page_no").orderBy(
+        "t", "l", "r", "b", "label", "confidence"
+    )
+    label = F.lower(F.regexp_replace("label", "[ -]", "_"))
+    elems = clusters.select(
+        "url",
+        "page_no",
+        F.row_number().over(win).alias("cid"),
+        F.concat_ws("-", label, F.row_number().over(win).cast("string")).alias("text"),
+        label.alias("label"),
+        "l",
+        "r",
+        "t",
+        "b",
+        F.lit(1237.0).alias("page_width"),
+        F.lit(1612.0).alias("page_height"),
+    )
+    df = order_elements(elems, num_partitions=4).select(
+        "url", "cid", "label", "reading_rank"
+    )
     return _signature(df, sorted(df.columns))
 
 

@@ -28,6 +28,7 @@ def main():
         "pipeline_reading_order",
         "pipeline_code_formula",
         "pipeline_figure_classes",
+        "pipeline_doc_assembly",
     ):
         row = Q.QUERIES[name](spark, SF).collect()[0]
         vals[name] = (int(row["n_rows"]), str(row["sig"]))
