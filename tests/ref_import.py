@@ -59,7 +59,8 @@ def _ensure_classish(value, name):
     # (a MagicMock base swallows the subclass body — TMTransformerDecoder's
     # reference-authored forward would vanish)
     if name in ("Module", "Dataset", "BasicBlock", "TransformerDecoder",
-                "TransformerDecoderLayer"):
+                "TransformerDecoderLayer", "OPTModel", "OPTForCausalLM",
+                "OPTConfig"):
         return _FakeClass
     return value
 

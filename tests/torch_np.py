@@ -166,6 +166,12 @@ class Tensor:
     def long(self):
         return Tensor(self.a.astype(np.int64))
 
+    def flatten(self, start_dim=0, end_dim=-1):
+        shape = self.a.shape
+        end = len(shape) - 1 if end_dim == -1 else end_dim
+        new = shape[:start_dim] + (-1,) + shape[end + 1 :]
+        return Tensor(self.a.reshape(new))
+
 
 def tensor(data, dtype=None, device=None):
     return Tensor(data)
@@ -224,6 +230,28 @@ def sigmoid(t):
 
 def sqrt(t):
     return Tensor(np.sqrt(t.a if isinstance(t, Tensor) else t))
+
+
+def where(cond, *rest):
+    c = cond.a if isinstance(cond, Tensor) else np.asarray(cond)
+    if rest:
+        x, y = rest
+        return Tensor(np.where(c, x.a if isinstance(x, Tensor) else x,
+                               y.a if isinstance(y, Tensor) else y))
+    return tuple(Tensor(i) for i in np.where(c))
+
+
+class set_grad_enabled:
+    """Context manager shim (no autograd here — eval-mode numerics only)."""
+
+    def __init__(self, mode):
+        self.mode = mode
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        return False
 
 
 def einsum(eq, *ops):
@@ -651,6 +679,8 @@ torch = types.SimpleNamespace(
     sigmoid=sigmoid,
     sqrt=sqrt,
     einsum=einsum,
+    where=where,
+    set_grad_enabled=set_grad_enabled,
     nn=nn,
     float=np.float64,
     float64=np.float64,
