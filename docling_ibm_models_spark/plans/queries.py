@@ -3259,3 +3259,413 @@ def ann_ivf_topk(spark, sf_dir):
         .orderBy(F.col("cosine").desc(), "vec_id")
         .limit(10)
     )
+
+
+# ===========================================================================
+# 8. Web-corpus pipeline additions (round 3): as-of join, chunk-level dedup,
+#    PII redaction, URL/domain analytics, deterministic sampling, PageRank
+# ===========================================================================
+
+@register(
+    "events_asof_join",
+    oracle="""
+    WITH p AS (SELECT user_id, ts, value, event_id FROM events
+               WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, ts, event_id FROM events
+               WHERE event_type = 'click'),
+         best AS (
+           SELECT c.event_id AS click_id, c.user_id AS user_id,
+                  max(p.ts) AS asof_ts
+           FROM c LEFT JOIN p ON p.user_id = c.user_id AND p.ts <= c.ts
+           GROUP BY 1, 2
+         )
+    SELECT b.click_id, b.user_id,
+           coalesce(epoch_us(b.asof_ts), -1) AS asof_ts_us,
+           coalesce(round(max(p.value), 2), -1.0) AS asof_val
+    FROM best b LEFT JOIN p
+      ON p.user_id = b.user_id AND p.ts = b.asof_ts
+    GROUP BY b.click_id, b.user_id, b.asof_ts
+    ORDER BY click_id
+    """,
+)
+def events_asof_join(spark, sf_dir):
+    """AS-OF join (most recent purchase at-or-before each click, per user)
+    — the temporal operator Spark lacks natively, expressed as ONE shuffle:
+    union both sides tagged, then a per-user running ``last(purchase
+    attribute, ignorenulls)`` over (ts, tag) ordering. No range self-join,
+    no per-click scan of the purchase history — state is a single running
+    row per key exactly like a streaming as-of would keep. Ties (several
+    purchases at the identical max ts) resolve to the max value via the
+    within-ts sort, mirrored in the oracle's ``max(p.value)`` re-join.
+    At 10^12 rows both sides shuffle once on user_id and the window is a
+    linear scan within each key — the classic scalable as-of plan."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(0).alias("is_click"), "value", "event_id"
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.lit(1).alias("is_click"),
+        F.lit(None).cast("double").alias("value"), "event_id",
+    )
+    u = p.unionByName(c)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_click", "value", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    purchase_ts = F.when(F.col("is_click") == 0, F.unix_micros(F.col("ts")))
+    purchase_val = F.when(F.col("is_click") == 0, F.col("value"))
+    out = u.select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        "is_click",
+        F.coalesce(
+            F.last(purchase_ts, ignorenulls=True).over(w), F.lit(-1)
+        ).alias("asof_ts_us"),
+        F.coalesce(
+            F.round(F.last(purchase_val, ignorenulls=True).over(w), 2), F.lit(-1.0)
+        ).alias("asof_val"),
+    )
+    return (
+        out.where(F.col("is_click") == 1)
+        .drop("is_click")
+        .orderBy("click_id")
+    )
+
+
+@register(
+    "corpus_hash_sample",
+    oracle="""
+    SELECT doc_id, lang, n_chars,
+           ('0x' || substr(md5('sample|' || doc_id::VARCHAR), 1, 8))::BIGINT % 20
+             AS bucket
+    FROM documents
+    WHERE ('0x' || substr(md5('sample|' || doc_id::VARCHAR), 1, 8))::BIGINT % 20 = 0
+    ORDER BY doc_id
+    """,
+)
+def corpus_hash_sample(spark, sf_dir):
+    """Deterministic hash sampling (the reproducible alternative to
+    ``df.sample``): keep a doc iff md5(seed|id) lands in bucket 0 of 20 —
+    a 5% sample that is stable across runs, engines, partitionings and
+    cluster sizes (rerunning at 10^12 rows yields the SAME sample, which
+    ad-hoc rng sampling cannot). Pure narrow filter on the scan — no
+    shuffle, fully pushed."""
+    d = _t(spark, sf_dir, "documents")
+    bucket = (_h32_spark(F.col("doc_id").cast("string"), seed="sample|") % 20).alias(
+        "bucket"
+    )
+    return (
+        d.select("doc_id", "lang", "n_chars", bucket)
+        .where(F.col("bucket") == 0)
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "corpus_chunk_dedup",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, unnest(ws) AS word, generate_subscripts(ws, 1) AS ord
+      FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ws
+            FROM documents)
+    ),
+    ch AS (
+      SELECT doc_id, (ord - 1) // 5 AS chunk_idx,
+             string_agg(word, ' ' ORDER BY ord) AS chunk
+      FROM w GROUP BY doc_id, (ord - 1) // 5
+      HAVING count(*) = 5
+    ),
+    hashed AS (
+      SELECT doc_id, ('0x' || substr(md5(chunk), 1, 8))::BIGINT AS h FROM ch
+    ),
+    freq AS (SELECT h, count(*) AS c FROM hashed GROUP BY h)
+    SELECT hashed.doc_id AS doc_id,
+           count(*) AS n_chunks,
+           count(*) FILTER (WHERE f.c > 1) AS n_dup_chunks,
+           round(count(*) FILTER (WHERE f.c > 1) / count(*)::DOUBLE, 4) AS dup_frac
+    FROM hashed JOIN freq f USING (h)
+    GROUP BY hashed.doc_id
+    ORDER BY doc_id
+    """,
+)
+def corpus_chunk_dedup(spark, sf_dir):
+    """CCNet-style chunk-level (paragraph-analogue) dedup signal: split each
+    doc into consecutive 5-word chunks (ragged tail dropped), hash each
+    chunk, count occurrences CORPUS-WIDE, and report the per-doc fraction
+    of chunks that also occur elsewhere — the signal CCNet thresholds to
+    drop boilerplate-heavy pages. Chunking is a narrow codegen expression
+    (split → transform over a sequence → posexplode); the corpus-wide
+    frequency is ONE groupBy on the 32-bit chunk hash with map-side
+    combine, then the per-doc rollup re-groups on doc_id. At 10^12 docs:
+    2 shuffles, both on well-distributed hash/id keys, no self-join and
+    no array re-materialization (the hash is 8 bytes per chunk).
+    [ref: CCNet (Wenzek et al. 2020) paragraph dedup; reference engine has
+    no corpus-level ops — engine addition per the graft brief]"""
+    d = _t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), r"\s+")
+    nch = F.floor(F.size(words) / F.lit(5)).cast("int")
+    idxs = F.when(nch >= 1, F.sequence(F.lit(0), nch - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    chunks = F.transform(
+        idxs, lambda i: F.array_join(F.slice(words, i * 5 + 1, 5), " ")
+    )
+    hashed = (
+        d.select("doc_id", F.explode(chunks).alias("chunk"))
+        .select("doc_id", _h32_spark(F.col("chunk")).alias("h"))
+    )
+    freq = hashed.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+    dup = F.count(F.when(F.col("c") > 1, F.lit(1))).alias("n_dup_chunks")
+    return (
+        hashed.join(freq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            dup,
+            F.round(
+                F.count(F.when(F.col("c") > 1, F.lit(1))) / F.count(F.lit(1)), 4
+            ).alias("dup_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\+1-555-[0-9]{4}"
+_PII_IP = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+@register(
+    "pii_redaction",
+    oracle=f"""
+    WITH dec AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id::VARCHAR
+                  || '@mail.example.com call +1-555-'
+                  || lpad((('0x' || substr(md5('ph|' || doc_id::VARCHAR), 1, 8))::BIGINT % 10000)::VARCHAR, 4, '0')
+                  || ' from 10.'
+                  || (('0x' || substr(md5('ip|' || doc_id::VARCHAR), 1, 8))::BIGINT % 256)::VARCHAR
+                  || '.' ||
+                  (('0x' || substr(md5('ip2|' || doc_id::VARCHAR), 1, 8))::BIGINT % 256)::VARCHAR
+                  || '.7' AS body
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(body, '{_PII_EMAIL}')) AS n_emails,
+           len(regexp_extract_all(body, '{_PII_PHONE}')) AS n_phones,
+           len(regexp_extract_all(body, '{_PII_IP}')) AS n_ips,
+           md5(regexp_replace(regexp_replace(regexp_replace(body,
+               '{_PII_EMAIL}', '<EMAIL>', 'g'),
+               '{_PII_PHONE}', '<PHONE>', 'g'),
+               '{_PII_IP}', '<IP>', 'g')) AS redacted_md5,
+           len(regexp_replace(regexp_replace(regexp_replace(body,
+               '{_PII_EMAIL}', '<EMAIL>', 'g'),
+               '{_PII_PHONE}', '<PHONE>', 'g'),
+               '{_PII_IP}', '<IP>', 'g')) AS redacted_len
+    FROM dec ORDER BY doc_id
+    """,
+)
+def pii_redaction(spark, sf_dir):
+    """PII scrubbing over web text: count and redact emails / phone numbers
+    / IPv4 addresses with deterministic regexes (the patterns live in the
+    RE2∩Java-regex common subset so Spark and the oracle agree literally).
+    Synthetic PII is woven in deterministically from doc_id so the operator
+    has non-trivial work at every SF without external data. Pure narrow
+    per-row codegen string expressions — zero shuffles; at 10^12 docs this
+    runs scan-speed and the redacted text would stream straight to the
+    curated sink. [engine addition: standard LLM-corpus PII pass]"""
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    body = F.concat(
+        F.col("text"), F.lit(" contact user"), did,
+        F.lit("@mail.example.com call +1-555-"),
+        F.lpad((_h32_spark(did, seed="ph|") % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10."),
+        (_h32_spark(did, seed="ip|") % 256).cast("string"),
+        F.lit("."),
+        (_h32_spark(did, seed="ip2|") % 256).cast("string"),
+        F.lit(".7"),
+    )
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(body, _PII_EMAIL, "<EMAIL>"), _PII_PHONE, "<PHONE>"
+        ),
+        _PII_IP,
+        "<IP>",
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(body, F.lit(_PII_EMAIL), F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all(body, F.lit(_PII_PHONE), F.lit(0))).alias("n_phones"),
+        F.size(F.regexp_extract_all(body, F.lit(_PII_IP), F.lit(0))).alias("n_ips"),
+        F.md5(red).alias("redacted_md5"),
+        F.length(red).alias("redacted_len"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "domain_stats",
+    oracle="""
+    WITH urls AS (
+      SELECT doc_id, lang, n_chars,
+             'https://site'
+               || (('0x' || substr(md5('dom|' || doc_id::VARCHAR), 1, 8))::BIGINT % 50)::VARCHAR
+               || CASE (('0x' || substr(md5('tld|' || doc_id::VARCHAR), 1, 8))::BIGINT % 3)
+                    WHEN 0 THEN '.com' WHEN 1 THEN '.org' ELSE '.net' END
+               || '/p/' || doc_id::VARCHAR || '?ref=' || lang AS url
+      FROM documents
+    ),
+    parsed AS (
+      SELECT doc_id, n_chars,
+             regexp_extract(url, 'https://([^/]+)/', 1) AS host,
+             regexp_extract(url, '\\.(com|org|net)/', 1) AS tld,
+             regexp_extract(url, 'ref=([a-z]+)$', 1) AS ref_lang
+      FROM urls
+    )
+    SELECT tld, count(*) AS n_docs,
+           count(DISTINCT host) AS n_domains,
+           count(DISTINCT ref_lang) AS n_langs,
+           round(avg(n_chars), 2) AS avg_chars
+    FROM parsed GROUP BY tld ORDER BY tld
+    """,
+)
+def domain_stats(spark, sf_dir):
+    """URL/domain analytics over a Common-Crawl-style corpus: parse host /
+    TLD / query param out of each page url (deterministically synthesized
+    from doc_id — same formula in the oracle) with Spark's JVM-side
+    ``parse_url``, then roll up per-TLD domain counts and means. The
+    parse is narrow codegen; the rollup is one shuffle on a 3-value key
+    after map-side partials, with the count(DISTINCT host) expansion
+    handled by Catalyst's expand-rewrite — at 10^12 rows the distinct
+    pre-aggregates per partition before the tiny final exchange."""
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    tld = F.element_at(
+        F.array(F.lit(".com"), F.lit(".org"), F.lit(".net")),
+        (_h32_spark(did, seed="tld|") % 3).cast("int") + 1,
+    )
+    url = F.concat(
+        F.lit("https://site"),
+        (_h32_spark(did, seed="dom|") % 50).cast("string"),
+        tld, F.lit("/p/"), did, F.lit("?ref="), F.col("lang"),
+    )
+    parsed = d.select(
+        "n_chars",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.regexp_extract(F.parse_url(url, F.lit("HOST")), r"\.(com|org|net)$", 1).alias("tld"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("ref")).alias("ref_lang"),
+    )
+    return (
+        parsed.groupBy("tld")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("host").alias("n_domains"),
+            F.countDistinct("ref_lang").alias("n_langs"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        )
+        .orderBy("tld")
+    )
+
+
+def _pagerank_oracle(iters: int = 5) -> str:
+    """Unrolled power-iteration oracle: r_{k+1}(v) = 0.15/N + 0.85 *
+    (Σ_{u→v} r_k(u)/outdeg(u) + dangling_k/N), five iterations, over the
+    deterministic 3-out-edge hash graph. DuckDB has recursive CTEs but the
+    per-iteration scalar dangling term is clearer (and engine-independent)
+    unrolled — the SQL is generated, not hand-maintained."""
+    n = "(SELECT count(*) FROM documents)"
+    edge_sel = " UNION ALL ".join(
+        f"SELECT doc_id AS src, ('0x' || substr(md5('e{j}|' || doc_id::VARCHAR), 1, 8))::BIGINT % {n} AS dst FROM documents"
+        for j in (1, 2, 3)
+    )
+    ctes = [
+        f"edges AS (SELECT DISTINCT src, dst FROM ({edge_sel}) WHERE dst <> src)",
+        "outdeg AS (SELECT src, count(*)::DOUBLE AS od FROM edges GROUP BY src)",
+        f"r0 AS (SELECT doc_id, 1.0 / {n} AS r FROM documents)",
+    ]
+    for k in range(1, iters + 1):
+        p = f"r{k - 1}"
+        ctes.append(
+            f"d{k} AS (SELECT coalesce(sum({p}.r), 0) AS dm FROM {p} "
+            f"LEFT JOIN outdeg ON outdeg.src = {p}.doc_id WHERE outdeg.src IS NULL)"
+        )
+        ctes.append(
+            f"c{k} AS (SELECT e.dst AS dst, sum({p}.r / o.od) AS c FROM edges e "
+            f"JOIN outdeg o ON o.src = e.src JOIN {p} ON {p}.doc_id = e.src GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"r{k} AS (SELECT d.doc_id, 0.15 / {n} + 0.85 * (coalesce(c{k}.c, 0) "
+            f"+ (SELECT dm FROM d{k}) / {n}) AS r "
+            f"FROM documents d LEFT JOIN c{k} ON c{k}.dst = d.doc_id)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT doc_id, round(r * 1000, 6) AS pr_permille FROM r{iters} ORDER BY doc_id"
+    )
+
+
+@register("link_pagerank", oracle=_pagerank_oracle())
+def link_pagerank(spark, sf_dir):
+    """PageRank (d=0.85, 5 synchronous iterations) over a deterministic
+    synthetic link graph: each page links to 3 hash-derived targets
+    (self-loops dropped, parallel edges deduped) — the iterative-algorithm
+    shape (GraphX/Pregel class) expressed as pure DataFrame ops. Per
+    iteration: one equi-join of edges with the current ranks on src, one
+    groupBy(dst) re-aggregation, a broadcast 1-row dangling-mass scalar,
+    and a left join back onto the vertex set — 2 well-keyed shuffles per
+    iteration, no driver-side collect anywhere (the scalar travels as a
+    broadcast cross join). At 10^12 vertices the same plan holds with the
+    edge table pre-bucketed on src so the per-iteration join is
+    shuffle-free on one side; iteration count is fixed (5) as in the
+    batch-PageRank literature. [engine addition: link-graph analytics for
+    web-corpus curation (host-level quality propagation)]"""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    n_mod = d.agg(F.count(F.lit(1)).alias("nm"))
+    n_df = d.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    did = F.col("doc_id").cast("string")
+    edges = (
+        d.crossJoin(F.broadcast(n_mod))
+        .select(
+            "doc_id",
+            F.explode(
+                F.array(*[_h32_spark(did, seed=f"e{j}|") % F.col("nm") for j in (1, 2, 3)])
+            ).alias("dst"),
+        )
+        .where(F.col("dst") != F.col("doc_id"))
+        .select(F.col("doc_id").alias("src"), "dst")
+        .distinct()
+    )
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("od"))
+    ew = edges.join(outdeg, "src")
+    ranks = d.crossJoin(F.broadcast(n_df)).select(
+        "doc_id", (F.lit(1.0) / F.col("n")).alias("r")
+    )
+    for _ in range(5):
+        dang = ranks.join(
+            outdeg.select("src"), ranks["doc_id"] == F.col("src"), "left_anti"
+        ).agg(F.coalesce(F.sum("r"), F.lit(0.0)).alias("dm"))
+        contrib = (
+            ew.join(ranks, ew["src"] == ranks["doc_id"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("r") / F.col("od")).alias("c"))
+            .select(F.col("dst").alias("cdst"), "c")
+        )
+        ranks = (
+            d.join(contrib, d["doc_id"] == F.col("cdst"), "left")
+            .crossJoin(F.broadcast(dang))
+            .crossJoin(F.broadcast(n_df))
+            .select(
+                "doc_id",
+                (
+                    F.lit(0.15) / F.col("n")
+                    + F.lit(0.85)
+                    * (F.coalesce(F.col("c"), F.lit(0.0)) + F.col("dm") / F.col("n"))
+                ).alias("r"),
+            )
+        )
+    return ranks.select(
+        "doc_id", F.round(F.col("r") * 1000, 6).alias("pr_permille")
+    ).orderBy("doc_id")

@@ -175,3 +175,46 @@ def test_corpus_text_queries_stay_jvm_side(spark):
         assert "BatchEvalPython" not in plan, name
         assert "ArrowEvalPython" not in plan, name
         assert "HashAggregate" in plan, name
+
+
+def test_asof_join_is_single_keyed_window(spark):
+    """The as-of join must NOT be a range self-join: its physical plan is
+    union → one hashpartitioning exchange on user_id → Window (plus the
+    presentation-sort range exchange). No join operator of any kind."""
+    plan = plan_of(QUERIES["events_asof_join"](spark, SF_MED))
+    assert "Window" in plan
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                 "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert node not in plan, f"as-of join materialized a {node}"
+    n_hash_ex = plan.count("hashpartitioning(")
+    assert n_hash_ex == 1, f"as-of plan has {n_hash_ex} hash exchanges (want 1)"
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_corpus_round3_queries_stay_jvm_side(spark):
+    """chunk-dedup / PII / domain / sample are pure JVM codegen exprs —
+    no Python nodes; the aggregating ones keep hash aggregates."""
+    for name in ("corpus_chunk_dedup", "pii_redaction", "domain_stats",
+                 "corpus_hash_sample"):
+        plan = plan_of(QUERIES[name](spark, SF_MED))
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+    for name in ("corpus_chunk_dedup", "domain_stats"):
+        assert "HashAggregate" in plan_of(QUERIES[name](spark, SF_MED)), name
+
+
+def test_domain_stats_distinct_uses_expand(spark):
+    """count(DISTINCT host), count(DISTINCT ref_lang) in one agg → Catalyst
+    expand-rewrite (partial per-partition distinct), not a double shuffle
+    per distinct column."""
+    plan = plan_of(QUERIES["domain_stats"](spark, SF_MED))
+    assert "Expand" in plan
+
+
+def test_pagerank_iterations_have_no_cartesian(spark):
+    """5 unrolled PageRank iterations: every scalar (N, dangling mass)
+    rides a broadcast nested-loop over a 1-row side; the edge⋈ranks joins
+    are hash equi-joins; nothing degenerates to a CartesianProduct."""
+    plan = plan_of(QUERIES["link_pagerank"](spark, SF_MED))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
