@@ -18,6 +18,7 @@ shaping and output contracts are real. ***
 
 from __future__ import annotations
 
+import functools
 import hashlib
 
 _REMOVE_TAIL = [r"\quad", r"\\", r"\,", " c c c c", " l l l l l"]
@@ -190,10 +191,13 @@ class CodeFormulaVisionTower:
         return texts, feats
 
 
+@functools.lru_cache(maxsize=4)
 def default_vision_weights(seed: int = 47) -> dict:
     """Small-config synthetic SAM weights for the serving stub (dims are
     checkpoint config; the graph/math is the reference's, parity-tested in
-    tests/test_sam_encoder_np.py)."""
+    tests/test_sam_encoder_np.py). Memoized — the 52 MB dict costs ~1.8 s
+    to synthesize and every caller treats it as read-only (it goes
+    straight into a broadcast)."""
     from docling_ibm_models_spark.models.sam_encoder_np import synthetic_sam_weights
 
     return {

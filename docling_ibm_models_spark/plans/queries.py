@@ -2834,7 +2834,7 @@ def _layout_clusters_df(spark, sf_dir):
     from docling_ibm_models_spark.sources.pages_source import pages_from_documents
 
     pages = pages_from_documents(spark, sf_dir, max_doc_id=200, parallelism=8)
-    bc = harness.broadcast_weights(spark, default_weights())
+    bc = harness.broadcast_weights_cached(spark, "layout_default", default_weights)
     return layout_stage(page_records_stage(pages), bc)
 
 
@@ -2956,7 +2956,9 @@ def pipeline_code_formula(spark, sf_dir):
     from docling_ibm_models_spark.pipeline.stages import code_formula_stage
 
     clusters = _layout_clusters_df(spark, sf_dir)
-    bc = harness.broadcast_weights(spark, default_vision_weights())
+    bc = harness.broadcast_weights_cached(
+        spark, "code_formula_vision_default", default_vision_weights
+    )
     df = code_formula_stage(clusters, bc).select(
         "url", "page_no", "label", "text", "feat_norm",
         F.round(F.element_at("feat_head", 1), 6).alias("f0"),
@@ -2974,7 +2976,7 @@ def _table_cells_df(spark, sf_dir):
     from docling_ibm_models_spark.sources.pages_source import pages_from_documents
 
     pages = pages_from_documents(spark, sf_dir, max_doc_id=100, parallelism=8)
-    bc = harness.broadcast_weights(spark, default_weights())
+    bc = harness.broadcast_weights_cached(spark, "tableformer_default", default_weights)
     tables = table_structure_stage(page_records_stage(pages), bc)
     return tables.select(
         "url", "table_id", "num_rows", "num_cols",
