@@ -203,3 +203,33 @@ def run_extraction(
         docs_processed=docs_processed,
         chunks=len(chunks),
     )
+
+
+def read_incremental(
+    spark: SparkSession,
+    out_dir: str,
+    snapshot_id: int,
+    seen_partitions: set[int] | None = None,
+) -> tuple[DataFrame, set[int]]:
+    """Incremental consumption — the Iceberg incremental-append-scan
+    analogue for downstream training-data consumers ("give me everything
+    extracted since my last read").
+
+    The consumer keeps its own tiny checkpoint: the set of (committed)
+    partition_ids it has already ingested. Each call returns (a) a
+    DataFrame of ONLY the newly committed partitions — a partition-pruned
+    scan over ``doc_text/partition_id=…``, so at 10^12 docs an
+    incremental read touches just the new files, never the table — and
+    (b) the updated checkpoint set to persist for the next call. Because
+    lineage commits strictly after data (module protocol), every
+    partition this returns is durably complete; a producer still running
+    simply yields its remaining partitions on later calls."""
+    seen = set(seen_partitions or ())
+    committed = committed_partitions(spark, out_dir, snapshot_id)
+    new = sorted(committed - seen)
+    df = spark.read.parquet(f"{out_dir}/doc_text")
+    if new:
+        out = df.where(F.col("partition_id").isin([int(p) for p in new]))
+    else:
+        out = df.where(F.lit(False))
+    return out, committed

@@ -3609,21 +3609,10 @@ def _pagerank_oracle(iters: int = 5) -> str:
     )
 
 
-@register("link_pagerank", oracle=_pagerank_oracle())
-def link_pagerank(spark, sf_dir):
-    """PageRank (d=0.85, 5 synchronous iterations) over a deterministic
-    synthetic link graph: each page links to 3 hash-derived targets
-    (self-loops dropped, parallel edges deduped) — the iterative-algorithm
-    shape (GraphX/Pregel class) expressed as pure DataFrame ops. Per
-    iteration: one equi-join of edges with the current ranks on src, one
-    groupBy(dst) re-aggregation, a broadcast 1-row dangling-mass scalar,
-    and a left join back onto the vertex set — 2 well-keyed shuffles per
-    iteration, no driver-side collect anywhere (the scalar travels as a
-    broadcast cross join). At 10^12 vertices the same plan holds with the
-    edge table pre-bucketed on src so the per-iteration join is
-    shuffle-free on one side; iteration count is fixed (5) as in the
-    batch-PageRank literature. [engine addition: link-graph analytics for
-    web-corpus curation (host-level quality propagation)]"""
+def _pagerank_frames(spark, sf_dir):
+    """Vertex set, N scalar, out-degrees and the edges⋈outdeg frame of the
+    deterministic 3-out-edge hash graph (shared by link_pagerank and the
+    plan-quality test, which asserts on one UNMATERIALIZED iteration)."""
     d = _t(spark, sf_dir, "documents").select("doc_id")
     n_mod = d.agg(F.count(F.lit(1)).alias("nm"))
     n_df = d.agg(F.count(F.lit(1)).cast("double").alias("n"))
@@ -3641,33 +3630,120 @@ def link_pagerank(spark, sf_dir):
         .distinct()
     )
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("od"))
-    ew = edges.join(outdeg, "src")
+    return d, n_df, outdeg, edges.join(outdeg, "src")
+
+
+def pagerank_iteration_frame(spark, sf_dir):
+    """One symbolic (unmaterialized) PageRank iteration — the plan the
+    test suite audits for join strategy / no-cartesian properties."""
+    d, n_df, outdeg, ew = _pagerank_frames(spark, sf_dir)
     ranks = d.crossJoin(F.broadcast(n_df)).select(
         "doc_id", (F.lit(1.0) / F.col("n")).alias("r")
     )
-    for _ in range(5):
-        dang = ranks.join(
-            outdeg.select("src"), ranks["doc_id"] == F.col("src"), "left_anti"
-        ).agg(F.coalesce(F.sum("r"), F.lit(0.0)).alias("dm"))
-        contrib = (
-            ew.join(ranks, ew["src"] == ranks["doc_id"])
-            .groupBy("dst")
-            .agg(F.sum(F.col("r") / F.col("od")).alias("c"))
-            .select(F.col("dst").alias("cdst"), "c")
+    dang = ranks.join(
+        outdeg.select("src"), ranks["doc_id"] == F.col("src"), "left_anti"
+    ).agg(F.coalesce(F.sum("r"), F.lit(0.0)).alias("dm"))
+    contrib = (
+        ew.join(ranks, ew["src"] == ranks["doc_id"])
+        .groupBy("dst")
+        .agg(F.sum(F.col("r") / F.col("od")).alias("c"))
+        .select(F.col("dst").alias("cdst"), "c")
+    )
+    return (
+        d.join(contrib, d["doc_id"] == F.col("cdst"), "left")
+        .crossJoin(F.broadcast(dang))
+        .crossJoin(F.broadcast(n_df))
+        .select(
+            "doc_id",
+            (
+                F.lit(0.15) / F.col("n")
+                + F.lit(0.85)
+                * (F.coalesce(F.col("c"), F.lit(0.0)) + F.col("dm") / F.col("n"))
+            ).alias("r"),
         )
-        ranks = (
-            d.join(contrib, d["doc_id"] == F.col("cdst"), "left")
-            .crossJoin(F.broadcast(dang))
-            .crossJoin(F.broadcast(n_df))
-            .select(
-                "doc_id",
-                (
-                    F.lit(0.15) / F.col("n")
-                    + F.lit(0.85)
-                    * (F.coalesce(F.col("c"), F.lit(0.0)) + F.col("dm") / F.col("n"))
-                ).alias("r"),
+    )
+
+
+@register("link_pagerank", oracle=_pagerank_oracle())
+def link_pagerank(spark, sf_dir):
+    """PageRank (d=0.85, 5 synchronous iterations) over a deterministic
+    synthetic link graph: each page links to 3 hash-derived targets
+    (self-loops dropped, parallel edges deduped) — the iterative-algorithm
+    shape (GraphX/Pregel class) expressed as pure DataFrame ops. Per
+    iteration: one equi-join of edges with the current ranks on src, one
+    groupBy(dst) re-aggregation, a broadcast 1-row dangling-mass scalar,
+    and a left join back onto the vertex set — 2 well-keyed shuffles per
+    iteration (the scalar travels as a broadcast cross join). Each
+    iteration's ranks frame is materialized with an eager
+    ``localCheckpoint`` — ranks feed BOTH the contribution join and the
+    dangling-mass aggregate, so an untruncated plan doubles per iteration
+    (2^5 recompute: 5.5 s at sf0.1 vs ~2.5 s truncated; lazy persist is
+    WORSE here — measured 11-14 s — because the exponentially branching
+    logical tree still gets re-analyzed and the broadcast-subquery
+    rewrites defeat the cache-manager's plan matching). Cache hygiene:
+    the bounded per-vertex result is collected once, a literal DataFrame
+    is returned, and the finally block unpersists the loop frames AND
+    sweeps the checkpoint blocks this call created (snapshot-diff of
+    getPersistentRDDs — checkpoint RDDs otherwise linger until GC) —
+    nothing cached leaks past the query. At 10^12 vertices the collect is
+    replaced by keeping the frame distributed with a reliable (HDFS)
+    checkpoint every few iterations — same loop, same two shuffles per
+    iteration, with the edge table pre-bucketed on src so the
+    per-iteration join is shuffle-free on one side; iteration count is
+    fixed (5) as in the batch-PageRank literature. [engine addition:
+    link-graph analytics for web-corpus curation (host-level quality
+    propagation)]"""
+    d, n_df, outdeg, ew_lazy = _pagerank_frames(spark, sf_dir)
+    ew = ew_lazy.persist()
+    cached = [ew]
+    jsc = spark.sparkContext._jsc
+    pre_ids = {int(k) for k in jsc.getPersistentRDDs().keySet().toArray()}
+    try:
+        ranks = d.crossJoin(F.broadcast(n_df)).select(
+            "doc_id", (F.lit(1.0) / F.col("n")).alias("r")
+        )
+        for _ in range(5):
+            dang = ranks.join(
+                outdeg.select("src"), ranks["doc_id"] == F.col("src"), "left_anti"
+            ).agg(F.coalesce(F.sum("r"), F.lit(0.0)).alias("dm"))
+            contrib = (
+                ew.join(ranks, ew["src"] == ranks["doc_id"])
+                .groupBy("dst")
+                .agg(F.sum(F.col("r") / F.col("od")).alias("c"))
+                .select(F.col("dst").alias("cdst"), "c")
             )
+            ranks = (
+                d.join(contrib, d["doc_id"] == F.col("cdst"), "left")
+                .crossJoin(F.broadcast(dang))
+                .crossJoin(F.broadcast(n_df))
+                .select(
+                    "doc_id",
+                    (
+                        F.lit(0.15) / F.col("n")
+                        + F.lit(0.85)
+                        * (
+                            F.coalesce(F.col("c"), F.lit(0.0))
+                            + F.col("dm") / F.col("n")
+                        )
+                    ).alias("r"),
+                )
+                .localCheckpoint(eager=True)
+            )
+        rows = (
+            ranks.select(
+                "doc_id", F.round(F.col("r") * 1000, 6).alias("pr_permille")
+            )
+            .orderBy("doc_id")
+            .collect()
         )
-    return ranks.select(
-        "doc_id", F.round(F.col("r") * 1000, 6).alias("pr_permille")
-    ).orderBy("doc_id")
+        return spark.createDataFrame(rows, "doc_id long, pr_permille double")
+    finally:
+        for df in cached:
+            df.unpersist()
+        # release the loop's localCheckpoint blocks (they otherwise live
+        # until RDD GC); queries run sequentially so the id-diff only ever
+        # sees this call's checkpoints
+        jmap = jsc.getPersistentRDDs()
+        for k in jmap.keySet().toArray():
+            if int(k) not in pre_ids:
+                jmap.get(k).unpersist()

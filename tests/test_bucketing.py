@@ -1,38 +1,81 @@
-"""Bucketed co-located join: both sides pre-bucketed on the key → the
-join plans with ZERO Exchange operators."""
+"""Bucketed co-located join: plan-level proof that bucketing removes the
+join shuffle (and the sort), plus content equality with the plain join."""
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
+import pyspark.sql.functions as F
+import pytest
 
-from docling_ibm_models_spark.sources.bucketing import bucketed_join, write_bucketed
+from docling_ibm_models_spark.pipeline.bucketing import (
+    cocluster_join,
+    write_bucketed,
+)
 
-from .conftest import SF_SMALL
+from .conftest import SF_MED
 from .test_plan_quality import plan_of
 
 
-def test_bucketed_join_is_shuffle_free(spark):
-    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet").select(
-        "l_orderkey", "l_quantity"
-    )
-    o = spark.read.parquet(f"{SF_SMALL}/orders.parquet").select(
-        "o_orderkey", "o_totalprice"
-    )
-    write_bucketed(li, "li_b", "l_orderkey", buckets=8)
-    write_bucketed(
-        o.withColumnRenamed("o_orderkey", "l_orderkey"), "o_b", "l_orderkey", buckets=8
-    )
+@pytest.fixture(scope="module")
+def bucketed_tables(spark, tmp_path_factory):
+    td = tmp_path_factory.mktemp("bucketed")
+    orders = spark.read.parquet(f"{SF_MED}/orders.parquet")
+    customer = spark.read.parquet(f"{SF_MED}/customer.parquet")
+    write_bucketed(orders, "orders_b", str(td / "orders_b"), "o_custkey", 8)
+    # same key domain, same bucket count -> co-located
+    customer = customer.withColumnRenamed("c_custkey", "o_custkey")
+    write_bucketed(customer, "customer_b", str(td / "customer_b"), "o_custkey", 8)
+    yield "orders_b", "customer_b"
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS customer_b")
+
+
+def test_bucketed_join_is_shuffle_and_sort_free(spark, bucketed_tables):
+    left, right = bucketed_tables
+    # the bucketing win is for big⋈big joins; at sf0.01 customer fits the
+    # broadcast threshold, so disable it to surface the at-scale plan shape
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        joined = bucketed_join(spark, "li_b", "o_b", "l_orderkey")
-        plan = plan_of(joined)
-        assert "Exchange" not in plan, "bucketed join still shuffles"
-        # sanity: result correct vs plain join
-        plain = li.join(
-            o, li.l_orderkey == o.o_orderkey
-        ).count()
-        assert joined.count() == plain
+        j = cocluster_join(spark, left, right, "o_custkey")
+        plan = plan_of(j)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
-        spark.sql("DROP TABLE IF EXISTS li_b")
-        spark.sql("DROP TABLE IF EXISTS o_b")
+    assert "SortMergeJoin" in plan, plan[:600]
+    assert "Exchange" not in plan, "bucketed join still shuffles"
+    # sortBy makes each bucket pre-sorted; no per-side Sort needed
+    assert plan.count("Sort ") == 0 or "Sort (" not in plan.split("SortMergeJoin")[0], plan[:600]
+    assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan, (
+        "scan did not report a bucketed read"
+    )
+
+
+def test_unbucketed_twin_shuffles_twice(spark):
+    orders = spark.read.parquet(f"{SF_MED}/orders.parquet")
+    customer = spark.read.parquet(f"{SF_MED}/customer.parquet").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    # disable auto-broadcast so the control shows the un-bucketed
+    # SortMergeJoin shape (customer is small enough to broadcast here;
+    # at 10^12 rows it would not be)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(orders.join(customer, "o_custkey"))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    assert plan.count("Exchange") >= 2, plan[:600]
+
+
+def test_bucketed_join_content_equal(spark, bucketed_tables):
+    left, right = bucketed_tables
+    j = cocluster_join(spark, left, right, "o_custkey").groupBy().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("s"),
+    )
+    orders = spark.read.parquet(f"{SF_MED}/orders.parquet")
+    customer = spark.read.parquet(f"{SF_MED}/customer.parquet").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    plain = orders.join(customer, "o_custkey").groupBy().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("s"),
+    )
+    assert j.collect() == plain.collect()

@@ -160,3 +160,44 @@ def test_snapshot_partitioning_change_guard(spark, tmp_path):
         run_extraction(spark, pages_path, out_dir, snap, num_partitions=2)
     # original partitioning resumes fine
     run_extraction(spark, pages_path, out_dir, snap, num_partitions=4)
+
+
+def test_incremental_read_consumes_only_new_partitions(spark, tmp_path):
+    """read_incremental: a consumer checkpointing partition_ids sees each
+    committed partition exactly once, via a partition-pruned scan."""
+    from docling_ibm_models_spark.pipeline.lineage import (
+        read_incremental,
+        run_extraction,
+        snapshot_id_for,
+    )
+    from docling_ibm_models_spark.sources.pages_source import pages_from_documents
+
+    pages_dir = str(tmp_path / "pages")
+    pages_from_documents(spark, SF_SMALL, parallelism=4).write.parquet(pages_dir)
+    out = str(tmp_path / "out")
+    snap = snapshot_id_for("incr-test")
+
+    # stage 1: producer commits 2 of 4 partitions
+    run_extraction(spark, pages_dir, out, snap, num_partitions=4,
+                   chunk_partitions=2, max_chunks=1)
+    df1, seen1 = read_incremental(spark, out, snap, set())
+    urls1 = {r.url for r in df1.select("url").collect()}
+    assert len(seen1) == 2 and urls1
+
+    # the incremental scan must be partition-pruned, not a full read
+    from .test_plan_quality import plan_of
+
+    assert "partition_id" in plan_of(df1).split("PartitionFilters", 1)[-1].split("\n")[0]
+
+    # second read with the same checkpoint: nothing new
+    empty, seen_same = read_incremental(spark, out, snap, seen1)
+    assert empty.count() == 0 and seen_same == seen1
+
+    # stage 2: producer finishes; consumer sees exactly the complement
+    run_extraction(spark, pages_dir, out, snap, num_partitions=4, chunk_partitions=2)
+    df2, seen2 = read_incremental(spark, out, snap, seen1)
+    urls2 = {r.url for r in df2.select("url").collect()}
+    assert len(seen2) == 4
+    assert urls1.isdisjoint(urls2)
+    all_urls = {r.url for r in spark.read.parquet(f"{out}/doc_text").select("url").collect()}
+    assert urls1 | urls2 == all_urls
