@@ -3747,3 +3747,119 @@ def link_pagerank(spark, sf_dir):
         for k in jmap.keySet().toArray():
             if int(k) not in pre_ids:
                 jmap.get(k).unpersist()
+
+
+@register(
+    "corpus_unigram_surprisal",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS word
+      FROM documents
+    ),
+    vocab AS (SELECT word, count(*)::DOUBLE AS c FROM w GROUP BY word),
+    total AS (SELECT sum(c) AS t FROM vocab)
+    SELECT w.doc_id AS doc_id, count(*) AS n_tokens,
+           round(avg(-ln(v.c / (SELECT t FROM total))), 4) AS surprisal
+    FROM w JOIN vocab v USING (word)
+    GROUP BY w.doc_id ORDER BY doc_id
+    """,
+)
+def corpus_unigram_surprisal(spark, sf_dir):
+    """CCNet-style language-model quality proxy: corpus-wide unigram
+    frequencies → per-doc mean surprisal (-ln p(w)) — the cheap stand-in
+    for the KenLM perplexity filter every web-corpus pipeline runs (high
+    surprisal ≈ gibberish/rare-token soup, low ≈ boilerplate). Two-pass
+    plan: (1) one groupBy(word) with map-side combine builds the vocab,
+    (2) the exploded tokens re-join the vocab on word and re-aggregate per
+    doc — 3 well-keyed shuffles total, vocabulary joined by hash equi-join
+    (at 10^12 docs the vocab is Zipf-bounded ≪ corpus and could broadcast
+    its head; the long tail stays a shuffle join). The total-count scalar
+    rides a broadcast 1-row cross join, no driver round-trip."""
+    docs = _t(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), r"\s+")).alias("word")
+    )
+    vocab = w.groupBy("word").agg(F.count(F.lit(1)).cast("double").alias("c"))
+    total = vocab.agg(F.sum("c").alias("t"))
+    return (
+        w.join(vocab, "word")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(-F.log(F.col("c") / F.col("t"))), 4).alias("surprisal"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "corpus_decontaminate",
+    oracle="""
+    WITH bench AS (
+      SELECT DISTINCT g FROM (
+        SELECT doc_id, string_agg(word, ' ' ORDER BY ord) AS g
+        FROM (
+          SELECT doc_id, unnest(ws) AS word, generate_subscripts(ws, 1) AS ord,
+                 len(ws) AS n
+          FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ws
+                FROM documents WHERE doc_id % 97 = 0)
+        ) t, (SELECT unnest(range(0, 200)) AS s)
+        WHERE ord > s AND ord <= s + 3 AND n - s >= 3
+        GROUP BY doc_id, s
+      )
+    ),
+    hits AS (
+      SELECT d.doc_id, count(DISTINCT b.g) AS n_hits
+      FROM (
+        SELECT doc_id, string_agg(word, ' ' ORDER BY ord) AS g
+        FROM (
+          SELECT doc_id, unnest(ws) AS word, generate_subscripts(ws, 1) AS ord,
+                 len(ws) AS n
+          FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ws
+                FROM documents WHERE doc_id % 97 <> 0)
+        ) t, (SELECT unnest(range(0, 200)) AS s)
+        WHERE ord > s AND ord <= s + 3 AND n - s >= 3
+        GROUP BY doc_id, s
+      ) d JOIN bench b ON d.g = b.g
+      GROUP BY d.doc_id
+    )
+    SELECT doc_id, n_hits FROM hits ORDER BY doc_id
+    """,
+)
+def corpus_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (the GPT-3/Llama training-data pass):
+    flag training docs sharing any sliding n-gram (n=3 here — real pipelines use 8-13-grams, but the synthetic vocabulary is small enough that 3-grams sit in the same collision regime; the gram length is a constant) with a held-out
+    benchmark set (here: the deterministic doc_id%97 slice — no external
+    data). Spark plan: both sides derive sliding n-grams with a narrow
+    codegen transform over sequence(0, n-5), the benchmark side distincts
+    its (small) gram set, and contamination is ONE hash semi-join shape —
+    exploded training grams ⋈ benchmark grams — re-aggregated per doc
+    with count(DISTINCT gram). At 10^12 docs the benchmark gram set is
+    millions of rows → broadcast; training grams never self-join and the
+    gram string can be replaced by its 8-byte hash on the wire. The
+    oracle builds the same grams via an unnest+range window-join (an
+    intentionally different formulation)."""
+    docs = _t(spark, sf_dir, "documents")
+
+    def grams(df):
+        words = F.split(F.col("text"), r"\s+")
+        n = F.size(words)
+        idxs = F.when(n >= 3, F.sequence(F.lit(0), n - 3)).otherwise(
+            F.array().cast("array<int>")
+        )
+        return df.select(
+            "doc_id",
+            F.explode(
+                F.transform(idxs, lambda i: F.array_join(F.slice(words, i + 1, 3), " "))
+            ).alias("g"),
+        )
+
+    bench = grams(docs.where(F.col("doc_id") % 97 == 0)).select("g").distinct()
+    train = grams(docs.where(F.col("doc_id") % 97 != 0))
+    return (
+        train.join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("g").alias("n_hits"))
+        .orderBy("doc_id")
+    )

@@ -223,3 +223,17 @@ def test_pagerank_iteration_plan_has_no_cartesian(spark):
     plan = plan_of(pagerank_iteration_frame(spark, SF_MED))
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_surprisal_and_decontaminate_plan_quality(spark):
+    """Unigram surprisal: pure JVM exprs, hash aggregates for vocab+doc
+    rollup, total-count scalar on a broadcast (no cartesian). De-contam:
+    the gram semi-join shape is a broadcast hash join, no Python nodes."""
+    plan = plan_of(QUERIES["corpus_unigram_surprisal"](spark, SF_MED))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "HashAggregate" in plan
+    assert "CartesianProduct" not in plan
+    plan = plan_of(QUERIES["corpus_decontaminate"](spark, SF_MED))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

@@ -121,3 +121,47 @@ def test_stream_asof_state_is_bounded(spark, tmp_path):
         .collect()[0][0]
     )
     assert rows[0].asof_ts_us == last_p
+
+
+def test_asof_helpers_match_bruteforce():
+    """Property check of the pure state helpers against a brute-force
+    as-of over random event sets (including duplicate timestamps)."""
+    import random
+
+    from docling_ibm_models_spark.streaming.stream_asof import (
+        _emit_ready,
+        _merge_purchases,
+    )
+
+    rng = random.Random(7)
+    for _ in range(200):
+        purchases = [
+            (rng.randrange(0, 50), round(rng.uniform(0, 9), 2))
+            for _ in range(rng.randrange(0, 12))
+        ]
+        clicks = sorted(
+            (rng.randrange(0, 60), i) for i in range(rng.randrange(0, 8))
+        )
+        wm = rng.randrange(0, 70)
+        p_ts, p_val = [], []
+        # insert in random arrival order, possibly over several "batches"
+        arr = purchases[:]
+        rng.shuffle(arr)
+        half = len(arr) // 2
+        _merge_purchases(p_ts, p_val, arr[:half])
+        _merge_purchases(p_ts, p_val, arr[half:])
+        assert p_ts == sorted(set(t for t, _ in purchases))
+        rows, keep_ts, keep_id = _emit_ready(
+            p_ts, p_val, [t for t, _ in clicks], [i for _, i in clicks], wm
+        )
+        for r in rows:
+            ts = next(t for t, i in clicks if i == r["click_id"])
+            elig = [(t, v) for t, v in purchases if t <= ts]
+            if elig:
+                best_t = max(t for t, _ in elig)
+                best_v = max(v for t, v in elig if t == best_t)
+                assert r["asof_ts_us"] == best_t
+                assert r["asof_val"] == round(best_v, 2)
+            else:
+                assert r["asof_ts_us"] == -1 and r["asof_val"] == -1.0
+        assert keep_ts == [t for t, _ in clicks if t >= wm]
