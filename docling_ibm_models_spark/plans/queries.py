@@ -3863,3 +3863,60 @@ def corpus_decontaminate(spark, sf_dir):
         .agg(F.countDistinct("g").alias("n_hits"))
         .orderBy("doc_id")
     )
+
+
+@register(
+    "events_skew_salted_join",
+    oracle="""
+    WITH tagged AS (
+      SELECT CASE WHEN user_id % 10 = 0 THEN 0 ELSE user_id END AS k,
+             value
+      FROM events
+    ),
+    dim AS (
+      SELECT DISTINCT CASE WHEN user_id % 10 = 0 THEN 0 ELSE user_id END AS k,
+             (1 + CASE WHEN user_id % 10 = 0 THEN 0 ELSE user_id END % 7)::DOUBLE
+               AS weight
+      FROM events
+    )
+    SELECT t.k AS k, count(*) AS n,
+           round(sum(t.value * d.weight), 2) AS weighted_value
+    FROM tagged t JOIN dim d ON d.k = t.k
+    GROUP BY t.k ORDER BY k
+    """,
+)
+def events_skew_salted_join(spark, sf_dir):
+    """Skew-safe SALTED JOIN — the join-side twin of events_salted_agg
+    (north rule: partitioning/shuffle/skew handled explicitly). The fold
+    ``user_id%10==0 → key 0`` manufactures a deterministic hot key holding
+    ~10% of the fact rows; a plain shuffle join would put every one of
+    those rows on a single reducer. The salted plan: the fact side carries
+    ``salt = pmod(xxhash64(event_id), 16)``; the (replicable) dim side is
+    exploded ×16 — one copy per salt — and the join runs on (k, salt), so
+    the hot key spreads over 16 reducers. Works for any big⋈small-enough-
+    to-replicate pair that still exceeds the broadcast budget at 10^12
+    rows (replication factor × dim ≪ fact); broadcast joins beat salting
+    when the dim truly fits memory, and AQE skew-join splits cover the
+    big⋈big case — this operator is the explicit fallback in between.
+    Output is exactly the oracle's plain join+agg."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.when(F.col("user_id") % 10 == 0, F.lit(0)).otherwise(F.col("user_id"))
+    fact = ev.select(
+        k.alias("k"),
+        "value",
+        F.pmod(F.xxhash64(F.col("event_id")), F.lit(_SALT_BUCKETS)).alias("salt"),
+    )
+    dim = (
+        ev.select(k.alias("k")).distinct()
+        .select("k", (1 + F.col("k") % 7).cast("double").alias("weight"))
+        .withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(_SALT_BUCKETS - 1))))
+    )
+    return (
+        fact.join(dim.hint("shuffle_hash"), ["k", "salt"])
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value") * F.col("weight")), 2).alias("weighted_value"),
+        )
+        .orderBy("k")
+    )

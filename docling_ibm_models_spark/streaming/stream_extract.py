@@ -100,3 +100,42 @@ def stream_dedup_pages(pages_stream: DataFrame, watermark: str = "24 hours") -> 
         )
     )
     return hashed.dropDuplicatesWithinWatermark(["content_hash"])
+
+
+def stream_layout(
+    spark: SparkSession,
+    pages_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    weights_bc,
+):
+    """Model inference under Structured Streaming: a pages file-source
+    stream driven through the SAME layout-detection stage the batch
+    pipeline serves (page_records → Arrow-batched model UDF behind the
+    executor singleton + broadcast weights). mapInPandas is a stateless
+    narrow transform, so it composes with streaming unchanged — this is
+    the production shape for continuous crawl ingestion: models stay
+    resident in the long-lived python workers while AvailableNow (or a
+    continuous trigger) feeds micro-batches, and the checkpoint's file
+    log gives exactly-once per input file. Output equality with the batch
+    stage is asserted in tests/test_streaming.py."""
+    from docling_ibm_models_spark.pipeline.stages import (
+        layout_stage,
+        page_records_stage,
+    )
+
+    pages = (
+        spark.readStream.schema(schemas.PAGES)
+        .parquet(pages_dir)
+    )
+    clusters = layout_stage(page_records_stage(pages), weights_bc)
+    q = (
+        clusters.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -199,3 +199,40 @@ def test_stream_extract_exactly_once_redrain(spark, tmp_path):
     result = spark.read.parquet(out_dir)
     assert result.count() == 500
     assert result.select("url").distinct().count() == 500
+
+
+def test_stream_layout_matches_batch_stage(spark, tmp_path):
+    """Model inference under streaming: the layout stage driven by a
+    file-source stream must produce EXACTLY the batch stage's clusters
+    (model singleton + broadcast weights work identically in micro-batch
+    tasks), and a re-drain adds nothing (file-log exactly-once)."""
+    from docling_ibm_models_spark.models import harness
+    from docling_ibm_models_spark.models.layout_stub import default_weights
+    from docling_ibm_models_spark.pipeline.stages import (
+        layout_stage,
+        page_records_stage,
+    )
+    from docling_ibm_models_spark.sources.pages_source import pages_from_documents
+    from docling_ibm_models_spark.streaming.stream_extract import stream_layout
+
+    pages_dir = str(tmp_path / "pages")
+    out_dir = str(tmp_path / "clusters")
+    ckpt = str(tmp_path / "ckpt")
+    pages = pages_from_documents(spark, SF_SMALL, parallelism=4)
+    pages.write.parquet(pages_dir)
+    bc = harness.broadcast_weights(spark, default_weights())
+
+    stream_layout(spark, pages_dir, out_dir, ckpt, bc)
+    got = spark.read.parquet(out_dir)
+
+    batch = layout_stage(page_records_stage(spark.read.parquet(pages_dir)), bc)
+    cols = sorted(batch.columns)
+
+    def key_set(df):
+        return {tuple(r) for r in df.select(*cols).collect()}
+
+    assert key_set(got) == key_set(batch)
+
+    # re-drain: no duplicates
+    stream_layout(spark, pages_dir, out_dir, ckpt, bc)
+    assert spark.read.parquet(out_dir).count() == batch.count()
