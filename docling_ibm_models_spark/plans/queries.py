@@ -3920,3 +3920,265 @@ def events_skew_salted_join(spark, sf_dir):
         )
         .orderBy("k")
     )
+
+
+@register(
+    "events_user_value_windows",
+    oracle="""
+    WITH spend AS (
+      SELECT user_id, round(sum(value), 2) AS total
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    )
+    SELECT user_id, total,
+           rank() OVER (ORDER BY total DESC, user_id) AS rnk,
+           ntile(4) OVER (ORDER BY total DESC, user_id) AS quartile,
+           round(percent_rank() OVER (ORDER BY total DESC, user_id), 6)
+             AS pct_rank,
+           coalesce(round(total - lag(total) OVER (ORDER BY total DESC,
+                                                    user_id), 2), 0.0)
+             AS gap_to_prev,
+           round(sum(total) OVER (ORDER BY total DESC, user_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW), 2) AS running_total
+    FROM spend ORDER BY rnk
+    """,
+)
+def events_user_value_windows(spark, sf_dir):
+    """Window-function surface in one pass: rank / ntile / percent_rank /
+    lag / running sum over per-user purchase totals, all sharing ONE
+    window ordering — Catalyst evaluates the whole set in a single Window
+    operator after a single sort, no per-function re-shuffle. The
+    deterministic user_id tiebreak makes every function's output
+    total-order stable (the lag/ntile outputs would otherwise be
+    hash-order dependent). The global ordering is the test construct; at
+    10^12 users the same functions run per-partition-key (e.g. per
+    domain), which is the partitioned Window the engine uses elsewhere
+    (topk_orders_per_customer)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    spend = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.round(F.sum("value"), 2).alias("total"))
+    )
+    w = Window.orderBy(F.col("total").desc(), "user_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        spend.select(
+            "user_id",
+            "total",
+            F.rank().over(w).alias("rnk"),
+            F.ntile(4).over(w).alias("quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.coalesce(
+                F.round(F.col("total") - F.lag("total").over(w), 2), F.lit(0.0)
+            ).alias("gap_to_prev"),
+            F.round(F.sum("total").over(wrun), 2).alias("running_total"),
+        )
+        .orderBy("rnk")
+    )
+
+
+@register(
+    "revenue_grouping_sets",
+    oracle="""
+    SELECT coalesce(e.event_type, '<all>') AS event_type,
+           coalesce(strftime(date_trunc('day', e.ts), '%Y-%m-%d'), '<all>')
+             AS day,
+           grouping(e.event_type) * 2 + grouping(date_trunc('day', e.ts))
+             AS gid,
+           count(*) AS n, round(sum(e.value), 2) AS total
+    FROM events e
+    GROUP BY GROUPING SETS ((e.event_type, date_trunc('day', e.ts)),
+                            (e.event_type), (date_trunc('day', e.ts)), ())
+    ORDER BY gid, event_type, day
+    """,
+)
+def revenue_grouping_sets(spark, sf_dir):
+    """Full GROUPING SETS (the CUBE lattice spelled explicitly) with
+    grouping_id disambiguation — one pass + Expand, not four unioned
+    re-aggregations (plan-asserted alongside revenue_rollup). NULL group
+    placeholders are coalesced to '<all>' so they are distinguishable
+    from genuine NULL keys — the grouping() bits, not the placeholder,
+    carry the lattice level."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "day_ts", F.date_trunc("day", F.col("ts").cast("timestamp"))
+    )
+    g = ev.cube("event_type", "day_ts").agg(
+        (F.grouping("event_type") * 2 + F.grouping("day_ts"))
+        .cast("bigint")
+        .alias("gid"),
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("total"),
+    )
+    return (
+        g.select(
+            F.coalesce(F.col("event_type"), F.lit("<all>")).alias("event_type"),
+            F.coalesce(
+                F.date_format("day_ts", "yyyy-MM-dd"), F.lit("<all>")
+            ).alias("day"),
+            "gid",
+            "n",
+            "total",
+        )
+        .orderBy("gid", "event_type", "day")
+    )
+
+
+@register(
+    "corpus_cardinality_sketch",
+    oracle="""
+    SELECT lang,
+           count(DISTINCT ('0x' || substr(md5('fp|' || text), 1, 8))::BIGINT)
+             AS exact_distinct,
+           TRUE AS hll_within_5pct
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def corpus_cardinality_sketch(spark, sf_dir):
+    """Sketch-based cardinality at scale: per-lang EXACT distinct content
+    fingerprints (the oracle-checked ground truth) next to Spark's
+    HyperLogLog++ estimate, asserted within 5% relative error (rsd=0.02
+    → ~±2σ). At 10^12 docs the exact count is a full shuffle of every
+    distinct fingerprint; the HLL sketch is a few KB per group,
+    map-side-merged — the engine's cheap path for corpus-size dashboards.
+    The boolean (not the estimate) is compared to the oracle: HLL++ is
+    deterministic for a fixed input/rsd, but only the bound — not the
+    estimate itself — is an engine-portable claim."""
+    d = _t(spark, sf_dir, "documents")
+    fp = _h32_spark(F.col("text"), seed="fp|")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.countDistinct(fp).alias("exact_distinct"),
+            F.approx_count_distinct(fp, rsd=0.02).alias("hll"),
+        )
+        .select(
+            "lang",
+            "exact_distinct",
+            (
+                F.abs(F.col("hll") - F.col("exact_distinct"))
+                <= 0.05 * F.col("exact_distinct")
+            ).alias("hll_within_5pct"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _pq_codebooks(m: int = 8, k: int = 16, sub: int = 8) -> list[list[list[float]]]:
+    """Deterministic 'trained' PQ codebooks: m subspaces × k centroids ×
+    sub dims, inlined identically into the Spark program and the oracle
+    (real PQ trains these with per-subspace k-means — a grouped mean loop
+    away; fixed codebooks keep the oracle exact)."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    return [
+        [[float(x) for x in np.round(rng.standard_normal(sub), 4)] for _ in range(k)]
+        for _ in range(m)
+    ]
+
+
+def _pq_oracle() -> str:
+    cbs = _pq_codebooks()
+    rows = ", ".join(
+        f"({j}, {c}, {cv}::DOUBLE[])"
+        for j, book in enumerate(cbs)
+        for c, cv in enumerate(book)
+    )
+    return f"""
+    WITH cb AS (SELECT * FROM (VALUES {rows}) AS t(j, c, cv)),
+    dims AS (
+      SELECT vec_id, (ord - 1) // 8 AS j, (ord - 1) % 8 AS p, val
+      FROM (SELECT vec_id, unnest(embedding)::DOUBLE AS val,
+                   generate_subscripts(embedding, 1) AS ord
+            FROM embeddings)
+    ),
+    dist AS (
+      SELECT d.vec_id, d.j, b.c, sum((d.val - b.cv[d.p + 1]) ^ 2) AS dd
+      FROM dims d JOIN cb b ON b.j = d.j
+      GROUP BY d.vec_id, d.j, b.c
+    ),
+    codes AS (
+      SELECT vec_id, j, c FROM (
+        SELECT vec_id, j, c,
+               row_number() OVER (PARTITION BY vec_id, j ORDER BY dd, c) AS rn
+        FROM dist
+      ) WHERE rn = 1
+    ),
+    adc AS (
+      SELECT cd.vec_id, sum(l.dd) AS adc
+      FROM codes cd JOIN dist l ON l.vec_id = 0 AND l.j = cd.j AND l.c = cd.c
+      GROUP BY cd.vec_id
+    ),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    cand AS (
+      SELECT e.vec_id, e.label, a.adc, e.embedding
+      FROM adc a JOIN embeddings e USING (vec_id)
+      WHERE e.vec_id <> 0
+      ORDER BY a.adc, e.vec_id LIMIT 20
+    )
+    SELECT cand.vec_id AS vec_id, cand.label AS label,
+           round(cand.adc, 4) AS adc,
+           round({_cos_sql("cand.embedding", "q.qv")}, 4) AS cosine
+    FROM cand CROSS JOIN q
+    ORDER BY cosine DESC, vec_id LIMIT 10
+    """
+
+
+@register("ann_pq_topk", oracle=_pq_oracle())
+def ann_pq_topk(spark, sf_dir):
+    """Product-quantization ANN (Jégou et al.) — the fourth ANN scale
+    path beside brute-force / LSH buckets / IVF: embeddings are split
+    into 8 subvectors, each encoded as its nearest of 16 fixed codebook
+    centroids (8 bytes per vector instead of 256), and the query scans
+    CODES with an asymmetric-distance lookup table (ADC: 128 precomputed
+    query-to-centroid distances), then exact-reranks the top-20 ADC
+    candidates to a top-10. The encode+ADC pass is one Arrow batch per
+    partition — reshape (n,8,8), one broadcasted (8,16,8) distance
+    tensor, argmin per subspace (np first-match tie-break == the
+    oracle's ORDER BY dd, c), LUT gather — no shuffle until the tiny
+    top-k; at 10^12 vectors the 8-byte codes are the only thing the scan
+    reads. Oracle: the same math relationally (exploded dims ⋈ literal
+    codebooks → windowed argmin → LUT re-join)."""
+    import numpy as np
+    import pandas as pd
+
+    cbs = np.asarray(_pq_codebooks(), dtype=np.float64)  # (8, 16, 8)
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = np.asarray(
+        emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0],
+        dtype=np.float64,
+    )
+    lut = ((qv.reshape(8, 1, 8) - cbs) ** 2).sum(-1)  # (8, 16)
+
+    def _adc_batch(emb_series):
+        e = np.stack([np.asarray(v, dtype=np.float64) for v in emb_series])
+        sub = e.reshape(len(e), 8, 1, 8)  # (n, m, 1, sub)
+        d = ((sub - cbs[None]) ** 2).sum(-1)  # (n, 8, 16)
+        codes = np.argmin(d, axis=2)  # (n, 8); first-match tie-break
+        adc = lut[np.arange(8)[None, :], codes].sum(1)
+        return pd.Series(adc)
+
+    adc_batch = F.pandas_udf(_adc_batch, "double")
+
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    q = emb.where(F.col("vec_id") == 0).select(dbl.alias("qv"))
+    cand = (
+        emb.where(F.col("vec_id") != 0)
+        .select("vec_id", "label", "embedding", adc_batch("embedding").alias("adc_raw"))
+        .orderBy("adc_raw", "vec_id")
+        .limit(20)
+    )
+    return (
+        cand.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            F.round(F.col("adc_raw"), 4).alias("adc"),
+            F.round(_cos_spark(dbl, F.col("qv")), 4).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(10)
+    )

@@ -237,3 +237,22 @@ def test_surprisal_and_decontaminate_plan_quality(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_window_showcase_single_window_operator(spark):
+    """All five window functions share one ordering → exactly one Window
+    node (and one sort for it), not one per function."""
+    plan = plan_of(QUERIES["events_user_value_windows"](spark, SF_MED))
+    assert plan.count(") Window") == 1, plan[:400]
+
+
+def test_grouping_sets_single_pass_expand(spark):
+    plan = plan_of(QUERIES["revenue_grouping_sets"](spark, SF_MED))
+    assert "Expand" in plan
+    assert "Union" not in plan
+
+
+def test_sketch_query_stays_jvm_side(spark):
+    plan = plan_of(QUERIES["corpus_cardinality_sketch"](spark, SF_MED))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "HashAggregate" in plan or "ObjectHashAggregate" in plan
