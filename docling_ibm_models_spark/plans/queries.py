@@ -4182,3 +4182,87 @@ def ann_pq_topk(spark, sf_dir):
         .orderBy(F.col("cosine").desc(), "vec_id")
         .limit(10)
     )
+
+
+@register(
+    "events_json_props",
+    oracle="""
+    SELECT event_type,
+           json_extract_string(props, '$.k')::INT // 10 AS k_bucket,
+           count(*) AS n,
+           round(avg(value), 4) AS avg_value,
+           count(DISTINCT json_extract_string(props, '$.k')::INT) AS n_distinct_k
+    FROM events
+    GROUP BY event_type, json_extract_string(props, '$.k')::INT // 10
+    ORDER BY event_type, k_bucket
+    """,
+)
+def events_json_props(spark, sf_dir):
+    """Semi-structured (JSON) columns, schema-on-read: the ``props``
+    payload is parsed with ``get_json_object`` — a JVM-side codegen JSON
+    path, no Python — and aggregated on an extracted bucket. At 10^12
+    rows the right move is to parse ONCE into typed columns at ingest
+    (``from_json`` with an explicit schema → parquet), after which the
+    path expression here collapses to a column read; this query is the
+    raw-scan form a first-pass exploration runs. Extraction happens
+    before the grouped aggregate, so the JSON is parsed exactly once per
+    row even though two aggregates use it."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        ev.select("event_type", "value", k.alias("k"))
+        .groupBy("event_type", F.floor(F.col("k") / 10).alias("k_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.countDistinct("k").alias("n_distinct_k"),
+        )
+        .orderBy("event_type", "k_bucket")
+    )
+
+
+@register(
+    "corpus_url_blocklist",
+    oracle="""
+    WITH urls AS (
+      SELECT doc_id, lang, n_chars,
+             'site' || (('0x' || substr(md5('dom|' || doc_id::VARCHAR), 1, 8))::BIGINT % 50)::VARCHAR
+               AS domain
+      FROM documents
+    ),
+    blocked AS (
+      SELECT DISTINCT domain FROM urls
+      WHERE ('0x' || substr(md5('block|' || domain), 1, 8))::BIGINT % 11 = 0
+    )
+    SELECT u.doc_id AS doc_id, u.domain AS domain, u.lang AS lang,
+           u.n_chars AS n_chars
+    FROM urls u LEFT JOIN blocked b ON b.domain = u.domain
+    WHERE b.domain IS NULL
+    ORDER BY doc_id
+    """,
+)
+def corpus_url_blocklist(spark, sf_dir):
+    """Domain blocklist filtering — the first stage of every web-corpus
+    pipeline (RefinedWeb/FineWeb drop spam/adult/SEO domains before any
+    text work). The blocklist is derived deterministically here (hash
+    rule over the synthetic domain — no external data); in production it
+    is a curated table of a few million domains: BROADCAST it and
+    anti-join, so the 10^12-row pages scan never shuffles — the plan
+    below is exactly that broadcast LeftAnti (plan-asserted). Filtering
+    by registered domain (not full host) is deliberate: subdomain
+    wildcarding comes free."""
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    domain = F.concat(
+        F.lit("site"), (_h32_spark(did, seed="dom|") % 50).cast("string")
+    )
+    urls = d.select("doc_id", domain.alias("domain"), "lang", "n_chars")
+    blocked = (
+        urls.select("domain").distinct()
+        .where(_h32_spark(F.col("domain"), seed="block|") % 11 == 0)
+    )
+    return (
+        urls.join(F.broadcast(blocked), "domain", "left_anti")
+        .select("doc_id", "domain", "lang", "n_chars")
+        .orderBy("doc_id")
+    )

@@ -196,7 +196,10 @@ def test_compact_line_budget_with_shedding_chain():
         shed(result)
         line = json.dumps(result, separators=(",", ":"))
     assert len(line) < 1900, len(line)
-    # the adaptive final shed fills the budget instead of over-shedding
+    # the adaptive final shed fills the budget instead of over-shedding:
+    # what matters is that a perf reader still sees the ~55+ SLOWEST
+    # queries on the line (the fast tail lives in BENCH_DETAIL.json) —
+    # the omitted count naturally grows with the registry
     if "q_omitted" in result:
         assert len(line) > 1700, len(line)
-        assert result["q_omitted"] <= 20, result["q_omitted"]
+        assert len(result["queries"]) >= 55, len(result["queries"])

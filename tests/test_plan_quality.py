@@ -256,3 +256,10 @@ def test_sketch_query_stays_jvm_side(spark):
     plan = plan_of(QUERIES["corpus_cardinality_sketch"](spark, SF_MED))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "HashAggregate" in plan or "ObjectHashAggregate" in plan
+
+
+def test_blocklist_is_broadcast_anti_join(spark):
+    plan = plan_of(QUERIES["corpus_url_blocklist"](spark, SF_MED))
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
