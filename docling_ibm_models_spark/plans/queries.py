@@ -4266,3 +4266,97 @@ def corpus_url_blocklist(spark, sf_dir):
         .select("doc_id", "domain", "lang", "n_chars")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "corpus_cms_heavy_hitters",
+    oracle="""
+    WITH urls AS (
+      SELECT doc_id,
+             'site' || (('0x' || substr(md5('dom|' || doc_id::VARCHAR), 1, 8))::BIGINT % 50)::VARCHAR
+               AS domain
+      FROM documents
+    ),
+    truth AS (SELECT domain, count(*) AS true_n FROM urls GROUP BY domain),
+    rows_ AS (SELECT unnest(range(0, 3)) AS r),
+    cms AS (
+      SELECT r.r AS r,
+             ('0x' || substr(md5('cms' || r.r::VARCHAR || '|' || u.domain), 1, 8))::BIGINT % 32
+               AS bucket,
+             count(*) AS c
+      FROM urls u CROSS JOIN rows_ r
+      GROUP BY 1, 2
+    ),
+    est AS (
+      SELECT t.domain, t.true_n, min(cms.c) AS cms_est
+      FROM truth t JOIN rows_ r ON TRUE
+      JOIN cms ON cms.r = r.r
+        AND cms.bucket = ('0x' || substr(md5('cms' || r.r::VARCHAR || '|' || t.domain), 1, 8))::BIGINT % 32
+      GROUP BY t.domain, t.true_n
+    )
+    SELECT domain, true_n, cms_est,
+           CASE WHEN cms_est >= true_n THEN 1 ELSE 0 END AS never_under
+    FROM est ORDER BY true_n DESC, domain LIMIT 10
+    """,
+)
+def corpus_cms_heavy_hitters(spark, sf_dir):
+    """Count-min-sketch heavy hitters — the mergeable-sketch shape for
+    "most frequent domains in a 10^12-page crawl" where an exact groupBy
+    of every domain is a full shuffle of the key universe. The sketch is
+    built RELATIONALLY (so the oracle is exact, not approximate-vs-exact):
+    each (row r, bucket h_r(domain)%w) counter is one grouped count —
+    d×w = 3×32 counters total regardless of domain cardinality, combined
+    map-side; estimate(domain) = min over rows of its counter, the CMS
+    guarantee being estimate ≥ true count (asserted per row in the
+    output). At scale the 96-counter sketch merges associatively across
+    partitions/streams (counter-wise sum) and the candidate top-k rides
+    it; here the true counts are also computed to exhibit the
+    overestimate. Hash family: the engine's md5-32 with per-row seeds —
+    identical in both dialects."""
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    domain = F.concat(
+        F.lit("site"), (_h32_spark(did, seed="dom|") % 50).cast("string")
+    )
+    urls = d.select(domain.alias("domain"))
+    truth = urls.groupBy("domain").agg(F.count(F.lit(1)).alias("true_n"))
+    rows_ = spark.range(3).select(F.col("id").cast("int").alias("r"))
+    cms = (
+        urls.crossJoin(F.broadcast(rows_))
+        .groupBy(
+            "r",
+            (
+                _h32_spark(
+                    F.concat(F.lit("cms"), F.col("r").cast("string"), F.lit("|"), F.col("domain"))
+                )
+                % 32
+            ).alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    probe = truth.crossJoin(F.broadcast(rows_)).select(
+        "domain",
+        "true_n",
+        "r",
+        (
+            _h32_spark(
+                F.concat(F.lit("cms"), F.col("r").cast("string"), F.lit("|"), F.col("domain"))
+            )
+            % 32
+        ).alias("bucket"),
+    )
+    est = (
+        probe.join(F.broadcast(cms), ["r", "bucket"])
+        .groupBy("domain", "true_n")
+        .agg(F.min("c").alias("cms_est"))
+    )
+    return (
+        est.select(
+            "domain",
+            "true_n",
+            "cms_est",
+            F.when(F.col("cms_est") >= F.col("true_n"), 1).otherwise(0).alias("never_under"),
+        )
+        .orderBy(F.col("true_n").desc(), "domain")
+        .limit(10)
+    )
