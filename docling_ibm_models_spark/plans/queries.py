@@ -4360,3 +4360,180 @@ def corpus_cms_heavy_hitters(spark, sf_dir):
         .orderBy(F.col("true_n").desc(), "domain")
         .limit(10)
     )
+
+
+@register(
+    "corpus_curation_full",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, lang, text, n_chars,
+             'site' || (('0x' || substr(md5('dom|' || doc_id::VARCHAR), 1, 8))::BIGINT % 50)::VARCHAR
+               AS domain,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+             length(text)::DOUBLE
+               / len(regexp_split_to_array(trim(text), '\\s+')) AS avg_tok
+      FROM documents
+    ),
+    flagged AS (
+      SELECT b.*,
+             ('0x' || substr(md5('block|' || domain), 1, 8))::BIGINT % 11 = 0
+               AS is_blocked,
+             doc_id % 97 = 0 AS is_holdout,
+             NOT (n_tokens BETWEEN 10 AND 5000 AND avg_tok BETWEEN 3 AND 12)
+               AS is_lowq
+      FROM base b
+    ),
+    s3 AS (  -- survivors of blocklist+holdout+quality
+      SELECT * FROM flagged WHERE NOT is_blocked AND NOT is_holdout AND NOT is_lowq
+    ),
+    dedup AS (
+      SELECT doc_id,
+             row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) > 1
+               AS is_dup
+      FROM s3
+    ),
+    s4 AS (SELECT s3.* FROM s3 JOIN dedup USING (doc_id) WHERE NOT dedup.is_dup),
+    bench_grams AS (
+      SELECT DISTINCT g FROM (
+        SELECT doc_id, string_agg(word, ' ' ORDER BY ord) AS g
+        FROM (SELECT doc_id, unnest(ws) AS word, generate_subscripts(ws, 1) AS ord,
+                     len(ws) AS n
+              FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ws
+                    FROM documents WHERE doc_id % 97 = 0)) t,
+             (SELECT unnest(range(0, 200)) AS s)
+        WHERE ord > s AND ord <= s + 3 AND n - s >= 3
+        GROUP BY doc_id, s
+      )
+    ),
+    contam AS (
+      SELECT DISTINCT d.doc_id FROM (
+        SELECT doc_id, string_agg(word, ' ' ORDER BY ord) AS g
+        FROM (SELECT s4.doc_id, unnest(regexp_split_to_array(s4.text, '\\s+')) AS word,
+                     generate_subscripts(regexp_split_to_array(s4.text, '\\s+'), 1) AS ord,
+                     len(regexp_split_to_array(s4.text, '\\s+')) AS n
+              FROM s4) t,
+             (SELECT unnest(range(0, 200)) AS s)
+        WHERE ord > s AND ord <= s + 3 AND n - s >= 3
+        GROUP BY doc_id, s
+      ) d JOIN bench_grams b ON d.g = b.g
+    ),
+    verdict AS (
+      SELECT f.lang,
+             CASE
+               WHEN f.is_blocked THEN 'blocked'
+               WHEN f.is_holdout THEN 'holdout'
+               WHEN f.is_lowq THEN 'lowq'
+               WHEN dd.is_dup THEN 'dup'
+               WHEN c.doc_id IS NOT NULL THEN 'contaminated'
+               ELSE 'kept'
+             END AS stage,
+             f.n_chars
+      FROM flagged f
+      LEFT JOIN dedup dd ON dd.doc_id = f.doc_id
+      LEFT JOIN contam c ON c.doc_id = f.doc_id
+    )
+    SELECT lang,
+           count(*) AS n_total,
+           count(*) FILTER (WHERE stage = 'blocked') AS n_blocked,
+           count(*) FILTER (WHERE stage = 'holdout') AS n_holdout,
+           count(*) FILTER (WHERE stage = 'lowq') AS n_lowq,
+           count(*) FILTER (WHERE stage = 'dup') AS n_dup,
+           count(*) FILTER (WHERE stage = 'contaminated') AS n_contaminated,
+           count(*) FILTER (WHERE stage = 'kept') AS n_kept,
+           coalesce(round(avg(n_chars) FILTER (WHERE stage = 'kept'), 2), -1.0)
+             AS avg_chars_kept
+    FROM verdict GROUP BY lang ORDER BY lang
+    """,
+)
+def corpus_curation_full(spark, sf_dir):
+    """CAPSTONE: the full FineWeb/RefinedWeb-style curation recipe as ONE
+    composed plan, with per-stage drop accounting — every document is
+    attributed to the FIRST stage that dropped it, in pipeline order:
+    (1) domain blocklist (broadcast anti-join semantics, here a flag),
+    (2) benchmark holdout exclusion (the doc_id%97 slice that
+        corpus_decontaminate screens against),
+    (3) Gopher/C4 quality gates (quality_score's rules),
+    (4) exact dedup keep-min-doc_id among survivors (one md5 window),
+    (5) 3-gram benchmark decontamination of the remainder (broadcast
+        gram semi-join).
+    Scale shape: stages 1-3 are narrow flags on the scan; stage 4 is the
+    single md5-key shuffle; stage 5 reuses the decontaminate broadcast —
+    so the whole recipe costs ONE wide shuffle plus the tiny per-lang
+    rollup, which is why these pipelines are composed as one plan rather
+    than five table rewrites. Per-lang report oracled exactly."""
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    domain = F.concat(
+        F.lit("site"), (_h32_spark(did, seed="dom|") % 50).cast("string")
+    )
+    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    avg_tok = F.length("text").cast("double") / n_tokens
+    flagged = docs.select(
+        "doc_id", "lang", "text", "n_chars",
+        (_h32_spark(domain, seed="block|") % 11 == 0).alias("is_blocked"),
+        (F.col("doc_id") % 97 == 0).alias("is_holdout"),
+        (~(n_tokens.between(10, 5000) & avg_tok.between(3, 12))).alias("is_lowq"),
+    )
+    from pyspark.sql import Window
+
+    s3 = flagged.where(~F.col("is_blocked") & ~F.col("is_holdout") & ~F.col("is_lowq"))
+    dedup = s3.select(
+        "doc_id",
+        (
+            F.row_number().over(
+                Window.partitionBy(F.md5("text")).orderBy("doc_id")
+            )
+            > 1
+        ).alias("is_dup"),
+    )
+    s4 = s3.join(dedup, "doc_id").where(~F.col("is_dup")).select(s3["*"])
+
+    def grams(df):
+        words = F.split(F.col("text"), r"\s+")
+        n = F.size(words)
+        idxs = F.when(n >= 3, F.sequence(F.lit(0), n - 3)).otherwise(
+            F.array().cast("array<int>")
+        )
+        return df.select(
+            "doc_id",
+            F.explode(
+                F.transform(idxs, lambda i: F.array_join(F.slice(words, i + 1, 3), " "))
+            ).alias("g"),
+        )
+
+    bench = grams(docs.where(F.col("doc_id") % 97 == 0)).select("g").distinct()
+    contam = (
+        grams(s4).join(F.broadcast(bench), "g").select("doc_id").distinct()
+        .withColumn("is_contam", F.lit(True))
+    )
+    stage = (
+        F.when(F.col("is_blocked"), "blocked")
+        .when(F.col("is_holdout"), "holdout")
+        .when(F.col("is_lowq"), "lowq")
+        .when(F.coalesce(F.col("is_dup"), F.lit(False)), "dup")
+        .when(F.coalesce(F.col("is_contam"), F.lit(False)), "contaminated")
+        .otherwise("kept")
+    )
+    verdict = (
+        flagged.join(dedup, "doc_id", "left")
+        .join(contam, "doc_id", "left")
+        .select("lang", stage.alias("stage"), "n_chars")
+    )
+    cnt = lambda s: F.count(F.when(F.col("stage") == s, F.lit(1)))
+    return (
+        verdict.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            cnt("blocked").alias("n_blocked"),
+            cnt("holdout").alias("n_holdout"),
+            cnt("lowq").alias("n_lowq"),
+            cnt("dup").alias("n_dup"),
+            cnt("contaminated").alias("n_contaminated"),
+            cnt("kept").alias("n_kept"),
+            F.coalesce(
+                F.round(F.avg(F.when(F.col("stage") == "kept", F.col("n_chars"))), 2),
+                F.lit(-1.0),
+            ).alias("avg_chars_kept"),
+        )
+        .orderBy("lang")
+    )
