@@ -4458,9 +4458,12 @@ def corpus_curation_full(spark, sf_dir):
         gram semi-join).
     Scale shape: stages 1-3 are narrow flags on the scan; stage 4 is the
     single md5-key shuffle; stage 5 reuses the decontaminate broadcast —
-    so the whole recipe costs ONE wide shuffle plus the tiny per-lang
-    rollup, which is why these pipelines are composed as one plan rather
-    than five table rewrites. Per-lang report oracled exactly."""
+    the recipe itself costs ONE wide shuffle plus the tiny per-lang
+    rollup. (In this lazily-composed report the dedup window evaluates a
+    second time for the drop-attribution join; a production run
+    materializes the curated table after stage 5 and derives the report
+    from it, so the recompute is a test-scale artifact, not the shape.)
+    Per-lang report oracled exactly."""
     docs = _t(spark, sf_dir, "documents")
     did = F.col("doc_id").cast("string")
     domain = F.concat(

@@ -263,3 +263,13 @@ def test_blocklist_is_broadcast_anti_join(spark):
     assert "LeftAnti" in plan
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_curation_capstone_plan_quality(spark):
+    """The composed curation recipe stays JVM-side (no Python nodes), the
+    gram decontamination probe is a broadcast hash join, and nothing
+    degenerates to a cartesian product."""
+    plan = plan_of(QUERIES["corpus_curation_full"](spark, SF_MED))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
