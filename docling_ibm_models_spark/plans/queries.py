@@ -4540,3 +4540,64 @@ def corpus_curation_full(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "corpus_sequence_packing",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+      FROM documents
+    ),
+    packed AS (
+      SELECT doc_id, lang, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS cum
+      FROM toks
+    )
+    SELECT doc_id, lang, n_tokens,
+           (cum - n_tokens) // 512 AS seq_id,
+           (cum - n_tokens) % 512 AS seq_offset,
+           CASE WHEN (cum - n_tokens) // 512 <> (cum - 1) // 512
+                THEN 1 ELSE 0 END AS crosses_boundary
+    FROM packed ORDER BY lang, doc_id
+    """,
+)
+def corpus_sequence_packing(spark, sf_dir):
+    """Sequence packing — the last step before training: assign every
+    document a (seq_id, offset) slot in a stream of fixed 512-token
+    training sequences, per lang shard. The deterministic running-sum
+    form (cumulative tokens over doc_id order within each lang) is the
+    distributed-friendly variant of greedy packing: ONE window per shard
+    key, no sequential driver loop, reproducible across cluster sizes —
+    and the ``crosses_boundary`` flag marks docs a packer would either
+    split across sequences or pad-break (both policies read off this
+    plan). At 10^12 docs the window partitions by the shard key (here
+    lang; in production lang × hash-bucket) so no global ordering is ever
+    materialized. [engine addition: GPT-style dataset serialization]"""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    toks = docs.select("doc_id", "lang", n_tokens.alias("n_tokens"))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = toks.withColumn("cum", F.sum("n_tokens").over(w))
+    start = F.col("cum") - F.col("n_tokens")
+    return packed.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.floor(start / 512).alias("seq_id"),
+        (start % 512).alias("seq_offset"),
+        F.when(
+            F.floor(start / 512) != F.floor((F.col("cum") - 1) / 512), 1
+        )
+        .otherwise(0)
+        .alias("crosses_boundary"),
+    ).orderBy("lang", "doc_id")
