@@ -4601,3 +4601,84 @@ def corpus_sequence_packing(spark, sf_dir):
         .otherwise(0)
         .alias("crosses_boundary"),
     ).orderBy("lang", "doc_id")
+
+
+@register(
+    "domain_typosquat",
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT
+             'site' || (('0x' || substr(md5('dom|' || doc_id::VARCHAR), 1, 8))::BIGINT % 50)::VARCHAR
+               AS domain
+      FROM documents
+    )
+    SELECT a.domain AS domain_a, b.domain AS domain_b,
+           levenshtein(a.domain, b.domain) AS dist
+    FROM d a JOIN d b ON a.domain < b.domain
+    WHERE levenshtein(a.domain, b.domain) <= 1
+       AND abs(length(a.domain) - length(b.domain)) <= 1
+    ORDER BY domain_a, domain_b
+    """,
+)
+def domain_typosquat(spark, sf_dir):
+    """Typosquat / near-duplicate domain detection: pairs of distinct
+    domains within levenshtein distance 1 — the crawl-hygiene pass that
+    catches look-alike hosts before they pollute dedup keys. The
+    length-difference prefilter (|len(a)-len(b)| ≤ 1, a necessary
+    condition for distance ≤ 1) is the standard blocking trick: at a
+    few hundred million distinct domains the self-join runs per
+    (length-band, first-char) block, never all-pairs — here the domain
+    universe is tiny so the blocked join is also the whole join. Both
+    engines' levenshtein are the classic unit-cost edit distance, so the
+    oracle is exact."""
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    domain = F.concat(
+        F.lit("site"), (_h32_spark(did, seed="dom|") % 50).cast("string")
+    )
+    doms = d.select(domain.alias("domain")).distinct()
+    a = doms.select(F.col("domain").alias("domain_a"))
+    b = doms.select(F.col("domain").alias("domain_b"))
+    lev = F.levenshtein(F.col("domain_a"), F.col("domain_b"))
+    return (
+        a.join(
+            b,
+            (F.col("domain_a") < F.col("domain_b"))
+            & (
+                F.abs(F.length("domain_a") - F.length("domain_b")) <= 1
+            ),
+        )
+        .where(lev <= 1)
+        .select("domain_a", "domain_b", lev.alias("dist"))
+        .orderBy("domain_a", "domain_b")
+    )
+
+
+@register(
+    "events_pivot_daily",
+    oracle="""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           count(*) FILTER (WHERE event_type = 'click') AS click,
+           count(*) FILTER (WHERE event_type = 'error') AS error,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           count(*) FILTER (WHERE event_type = 'signup') AS signup,
+           count(*) FILTER (WHERE event_type = 'view') AS view
+    FROM events GROUP BY 1 ORDER BY day
+    """,
+)
+def events_pivot_daily(spark, sf_dir):
+    """PIVOT surface: daily event counts spread into one column per type.
+    The type list is passed EXPLICITLY to ``pivot`` — with it, Catalyst
+    compiles straight to one hash aggregate with conditional counts (the
+    same Expand-free plan the oracle's FILTER clauses spell out); without
+    it, Spark first runs a blocking distinct-values job. At 10^12 rows
+    the explicit list is the difference between one pass and two."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.date_format(F.date_trunc("day", F.col("ts").cast("timestamp")), "yyyy-MM-dd")
+    return (
+        ev.groupBy(day.alias("day"))
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+        .orderBy("day")
+    )
