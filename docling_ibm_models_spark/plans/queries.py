@@ -4682,3 +4682,48 @@ def events_pivot_daily(spark, sf_dir):
         .na.fill(0)
         .orderBy("day")
     )
+
+
+@register(
+    "events_user_segments",
+    oracle="""
+    WITH clickers AS (SELECT DISTINCT user_id FROM events
+                      WHERE event_type = 'click'),
+         buyers AS (SELECT DISTINCT user_id FROM events
+                    WHERE event_type = 'purchase'),
+         viewers AS (SELECT DISTINCT user_id FROM events
+                     WHERE event_type = 'view'),
+         both_ AS (SELECT user_id FROM clickers INTERSECT
+                   SELECT user_id FROM buyers),
+         browse_only AS (SELECT user_id FROM viewers EXCEPT
+                         SELECT user_id FROM clickers EXCEPT
+                         SELECT user_id FROM buyers)
+    SELECT 'click_and_buy' AS segment, count(*) AS n_users FROM both_
+    UNION ALL
+    SELECT 'view_only', count(*) FROM browse_only
+    ORDER BY segment
+    """,
+)
+def events_user_segments(spark, sf_dir):
+    """Set-operation surface: INTERSECT (users who both click and buy)
+    and chained EXCEPT (view-only users) — Catalyst rewrites both to
+    semi/anti hash joins over the deduplicated key sets, so the physical
+    plan carries no sort-based set operator; at 10^12 rows each leg is
+    one distinct shuffle reused across the set expressions."""
+    ev = _t(spark, sf_dir, "events")
+
+    def keys(t):
+        return ev.where(F.col("event_type") == t).select("user_id").distinct()
+
+    both = keys("click").intersect(keys("purchase"))
+    browse_only = keys("view").exceptAll(keys("click")).exceptAll(keys("purchase"))
+    return (
+        both.agg(F.count(F.lit(1)).alias("n_users"))
+        .select(F.lit("click_and_buy").alias("segment"), "n_users")
+        .unionByName(
+            browse_only.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit("view_only").alias("segment"), "n_users"
+            )
+        )
+        .orderBy("segment")
+    )
