@@ -4727,3 +4727,58 @@ def events_user_segments(spark, sf_dir):
         )
         .orderBy("segment")
     )
+
+
+@register(
+    "corpus_bigram_lm",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, unnest(ws) AS word, generate_subscripts(ws, 1) AS ord
+      FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ws
+            FROM documents)
+    ),
+    bi AS (
+      SELECT a.word AS w1, b.word AS w2, count(*) AS c
+      FROM w a JOIN w b ON b.doc_id = a.doc_id AND b.ord = a.ord + 1
+      GROUP BY a.word, b.word
+    ),
+    uni AS (SELECT w1, sum(c) AS cw1 FROM bi GROUP BY w1)
+    SELECT bi.w1 AS w1, bi.w2 AS w2, bi.c AS c,
+           round(bi.c / uni.cw1::DOUBLE, 4) AS p_w2_given_w1
+    FROM bi JOIN uni USING (w1)
+    ORDER BY c DESC, w1, w2 LIMIT 20
+    """,
+)
+def corpus_bigram_lm(spark, sf_dir):
+    """Bigram language-model table — the n-gram-LM construction step
+    (KenLM-style corpora start exactly here): adjacent-token pairs
+    counted corpus-wide, conditional probability P(w2|w1) from the
+    bigram/left-marginal ratio, top-20 by count with a total ordering.
+    Spark derives bigrams with a NARROW zip of each doc's token array
+    against its own tail (arrays_zip + explode — no self-join; the
+    oracle deliberately uses the positional self-join formulation), so
+    the only shuffles are the bigram groupBy and the tiny marginal
+    re-agg, both map-side combined. At 10^12 docs the bigram table is
+    the classic count-then-prune pipeline; the df-cap trick
+    dedup_ngram_jaccard uses applies unchanged when pruning is needed."""
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), r"\s+")
+    pairs = docs.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(words, 1, F.greatest(F.size(words) - 1, F.lit(0))).alias("w1"),
+                F.slice(words, 2, F.greatest(F.size(words) - 1, F.lit(0))).alias("w2"),
+            )
+        ).alias("p")
+    ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    bi = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    uni = bi.groupBy("w1").agg(F.sum("c").alias("cw1"))
+    return (
+        bi.join(uni, "w1")
+        .select(
+            "w1", "w2", "c",
+            F.round(F.col("c") / F.col("cw1").cast("double"), 4).alias("p_w2_given_w1"),
+        )
+        .orderBy(F.col("c").desc(), "w1", "w2")
+        .limit(20)
+    )
