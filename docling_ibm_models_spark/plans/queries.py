@@ -54,6 +54,25 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
 
+def _materialize_scan(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Materialize ``df`` DISTRIBUTED — write it to a job-scoped temp
+    parquet and return a scan — so persisted/iterative inputs can be
+    unpersisted immediately without the returned frame re-triggering the
+    (now cache-less) lineage. Unlike collect→createDataFrame, result rows
+    never pass through the driver (at 10^12-row outputs a collect is a
+    driver OOM); unlike ``localCheckpoint`` nothing stays in the block
+    manager, so no cached RDDs linger past the query. The write is the
+    final exchange-free stage of the plan being materialized; on a cluster
+    the identical call targets the shared scratch FS (a job-scoped HDFS/S3
+    prefix) instead of the driver-local tmpdir. Schema is re-applied on
+    read so zero-row results round-trip."""
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="dims_mat_") + "/out"
+    df.write.mode("overwrite").parquet(path)
+    return spark.read.schema(df.schema).parquet(path)
+
+
 def register(name: str, oracle: str | None = None):
     def deco(fn):
         QUERIES[name] = fn
@@ -1931,10 +1950,10 @@ def dedup_minhash_verified(spark, sf_dir):
     joined shingle arrays. The shingle-set DataFrame is persisted and
     shared by the candidate generation and both join sides — otherwise the
     shingling UDF would re-run up to ~5× inside this one action. The
-    verified-pairs result (inherently small: near-dup pairs above 0.4
-    Jaccard) is materialized before returning so the cache is released
-    eagerly — no cached partitions leak into subsequent queries of a
-    long-lived session."""
+    verified-pairs result is materialized DISTRIBUTED (temp-parquet scan,
+    ``_materialize_scan``) before the shingle cache is released — same
+    eager cache hygiene as before, but no rows ever pass through the
+    driver, so the query stays safe at 10^12-doc pair volumes."""
     docs = _t(spark, sf_dir, "documents")
     sh = _shingles_spark(docs).persist()
     try:
@@ -1952,8 +1971,7 @@ def dedup_minhash_verified(spark, sf_dir):
             .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
             .orderBy("doc_a", "doc_b")
         )
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return _materialize_scan(out, spark)
     finally:
         sh.unpersist()
 
@@ -2027,11 +2045,13 @@ def dedup_clusters(spark, sf_dir):
             if cur_sum == prev_sum:
                 break
             prev_sum = cur_sum
-        rows = labels.select(
+        out = labels.select(
             F.col("doc").alias("doc_id"),
             F.col("label").cast("long").alias("cluster_id"),
-        ).orderBy("doc_id").collect()
-        return spark.createDataFrame(rows, "doc_id long, cluster_id long")
+        ).orderBy("doc_id")
+        # distributed materialization: the full (doc_id, cluster_id) label
+        # table at web scale is ~n_docs rows — never collect it
+        return _materialize_scan(out, spark)
     finally:
         for df in cached:  # same cache hygiene as dedup_minhash_verified
             df.unpersist()
@@ -3681,14 +3701,15 @@ def link_pagerank(spark, sf_dir):
     WORSE here — measured 11-14 s — because the exponentially branching
     logical tree still gets re-analyzed and the broadcast-subquery
     rewrites defeat the cache-manager's plan matching). Cache hygiene:
-    the bounded per-vertex result is collected once, a literal DataFrame
-    is returned, and the finally block unpersists the loop frames AND
-    sweeps the checkpoint blocks this call created (snapshot-diff of
-    getPersistentRDDs — checkpoint RDDs otherwise linger until GC) —
-    nothing cached leaks past the query. At 10^12 vertices the collect is
-    replaced by keeping the frame distributed with a reliable (HDFS)
-    checkpoint every few iterations — same loop, same two shuffles per
-    iteration, with the edge table pre-bucketed on src so the
+    the final per-vertex ranks are materialized DISTRIBUTED (temp-parquet
+    scan via ``_materialize_scan`` — never a driver collect), then the
+    finally block unpersists the loop frames AND sweeps the checkpoint
+    blocks this call created (snapshot-diff of getPersistentRDDs —
+    checkpoint RDDs otherwise linger until GC); the parquet-backed result
+    is independent of those blocks, so nothing cached leaks past the
+    query. At 10^12 vertices the same loop runs with a reliable (HDFS)
+    checkpoint every few iterations instead of localCheckpoint — same two
+    shuffles per iteration, with the edge table pre-bucketed on src so the
     per-iteration join is shuffle-free on one side; iteration count is
     fixed (5) as in the batch-PageRank literature. [engine addition:
     link-graph analytics for web-corpus curation (host-level quality
@@ -3729,14 +3750,13 @@ def link_pagerank(spark, sf_dir):
                 )
                 .localCheckpoint(eager=True)
             )
-        rows = (
-            ranks.select(
-                "doc_id", F.round(F.col("r") * 1000, 6).alias("pr_permille")
-            )
-            .orderBy("doc_id")
-            .collect()
-        )
-        return spark.createDataFrame(rows, "doc_id long, pr_permille double")
+        out = ranks.select(
+            "doc_id", F.round(F.col("r") * 1000, 6).alias("pr_permille")
+        ).orderBy("doc_id")
+        # distributed materialization (temp-parquet scan): the per-vertex
+        # rank table is n_vertices rows — at 10^12 pages a collect is a
+        # driver OOM; the scan survives the checkpoint-block sweep below
+        return _materialize_scan(out, spark)
     finally:
         for df in cached:
             df.unpersist()

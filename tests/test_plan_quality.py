@@ -216,8 +216,9 @@ def test_pagerank_iteration_plan_has_no_cartesian(spark):
     materializes per round): every scalar (N, dangling mass) rides a
     broadcast nested-loop over a 1-row side; the edge⋈ranks joins are
     hash/merge equi-joins; nothing degenerates to a CartesianProduct.
-    (The query itself returns a collected literal — cache hygiene — so
-    the audit targets the iteration frame.)"""
+    (The query itself returns a distributed temp-parquet scan — cache
+    hygiene without a driver collect — so the audit targets the
+    iteration frame.)"""
     from docling_ibm_models_spark.plans.queries import pagerank_iteration_frame
 
     plan = plan_of(pagerank_iteration_frame(spark, SF_MED))
@@ -273,3 +274,19 @@ def test_curation_capstone_plan_quality(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_materialized_results_are_distributed_scans(spark):
+    """dedup_minhash_verified / dedup_clusters / link_pagerank return
+    temp-parquet SCANS, not driver-collected literals: the returned plan
+    is a FileScan (no LocalTableScan / in-memory relation), and after the
+    query finishes NO persistent RDDs linger (cache hygiene preserved
+    without moving result rows through the driver)."""
+    for name in ("dedup_minhash_verified", "dedup_clusters", "link_pagerank"):
+        out = QUERIES[name](spark, SF_MED)
+        plan = plan_of(out)
+        assert "Scan parquet" in plan, f"{name}: result is not a parquet scan"
+        assert "LocalTableScan" not in plan, f"{name}: result collected to driver"
+        assert out.count() > 0, name
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        assert jmap.size() == 0, f"{name}: {jmap.size()} cached RDDs linger"
