@@ -1,21 +1,33 @@
-"""Deterministic TableFormer stub (M2/M3 stand-in) + the REAL deterministic
-table-structure chain + the REAL M5 bbox-decoder numpy forward.
+"""Deterministic TableFormer serving model: the FULL M2-M5 numpy forward
+chain under synthetic broadcast weights + the REAL deterministic
+table-structure chain.
 
-*** PARTIAL STUB — the CNN encoder and tag-transformer (reference
-/root/reference/docling_ibm_models/tableformer/models/table04_rs/tablemodel04_rs.py:110-328)
-need torch weights that are neither installed nor downloadable here, so the
-tag PROPOSAL stream is a DETERMINISTIC FAKE (md5-seeded grid depending only
-on the crop bytes). The M5 bbox decoder, however, is a REAL vectorized numpy
-forward (models/bbox_decoder_np.py — CellAttention + gate + MLP heads,
-reference-parity-tested vs bbox_decoder_rs.py under tests/torch_np.py) run
-over crop-seeded synthetic encoder features and weights. ***
+Per table, ``predict_table`` runs the real reference-parity math end to
+end (reference /root/reference/docling_ibm_models/tableformer/models/
+table04_rs/tablemodel04_rs.py:110-328): M2 conv/BN/pool encoder
+(models/encoder_np.py), M3 input-filter + transformer encoder
+(models/transformer_np.py), the M4 cached autoregressive decode loop
+(TMTransformerDecoder discipline + last-token-only layers + in-loop
+grammar corrections feeding back into the next step's embedding), and the
+M5 bbox forward (models/bbox_decoder_np.py) over the decode loop's actual
+per-slot hidden states.
+
+*** Two honest fakes remain, both environment-blocked: (a) the crop
+byte→pixel decode (no raster codec in-container) synthesizes a small
+deterministic RGB image from the crop bytes before the REAL preprocessing
+chain runs; (b) the per-step tag PROPOSAL is schedule-forced (md5-seeded
+grid) through ``tag_decode_loop``'s constrained-decoding hook, because no
+trained head checkpoint exists in-container and greedy argmax under
+synthetic weights degenerates (never terminates or ends immediately —
+measured). Greedy-argmax parity is pinned by tests/test_tag_decoder_np.py;
+real checkpoint weights would slot into the same weight dicts. ***
 
 Everything downstream of the decode IS the real, reference-parity-tested
 chain (operators/): otsl_to_html → cell matching (J2) → 9-step matching
 post-processor (A1-A9, J6) → response generation (J5) → merge (J4) →
 index compaction (A11). ``predict_table`` therefore has the exact shape of
 the reference's ``TFPredictor.predict``+``multi_table_predict``
-(tf_predictor.py:457-576,698-836) with only the neural forward faked.
+(tf_predictor.py:457-576,698-836).
 """
 
 from __future__ import annotations
@@ -39,26 +51,32 @@ TF_IMG_STD = [0.17910956, 0.17940403, 0.17931663]
 TF_RESIZED = 448
 
 
-# Stub model config for the REAL numpy bbox forward (M5): smaller dims than
-# the reference checkpoint (512/28²) keep the per-table conv cost ~5 ms;
+# Stub model config for the REAL numpy forwards (M2-M5): smaller dims than
+# the reference checkpoint (512/28²) keep the per-table cost low;
 # the math itself is reference-parity-tested at the reference dims in
-# tests/test_bbox_decoder_np.py. Dims are checkpoint config, not semantics.
+# tests/test_bbox_decoder_np.py / test_tag_decoder_np.py. Dims are
+# checkpoint config, not semantics.
 BBOX_IN_CH = 64
-BBOX_DIM = 128
+BBOX_DIM = 128  # d_model of the tag transformer AND the bbox decoder dims
 BBOX_ATT = 32
 BBOX_SPATIAL = 6
+TAG_HEADS = 4
+TAG_FF = 256
+TAG_LAYERS = 2
 
 
 class DeterministicTableFormer:
     def __init__(self, weights: dict):
         from docling_ibm_models_spark.models import bbox_decoder_np as bnp
         from docling_ibm_models_spark.models import encoder_np
+        from docling_ibm_models_spark.models import transformer_np as tnp
 
         self.grid_bias = int(weights.get("grid_bias", 0))
+        seed = int(weights.get("bbox_seed", 7))
         # M5 weights: deterministic synthetics (no checkpoint in-container);
         # built once per executor-worker singleton (harness.get_or_create)
         self.bbox_w = bnp.synthetic_weights(
-            seed=int(weights.get("bbox_seed", 7)),
+            seed=seed,
             encoder_dim=BBOX_DIM,
             in_ch=BBOX_IN_CH,
             attention_dim=BBOX_ATT,
@@ -69,7 +87,32 @@ class DeterministicTableFormer:
         # M2 mini-backbone (real conv/BN/pool math, encoder_np with
         # reference-class parity): 3→16→64 channels, stride-2 twice
         self.enc_stack = encoder_np.synthetic_encoder_stack(
-            seed=int(weights.get("bbox_seed", 7)) + 1, channels=(3, 16, BBOX_IN_CH)
+            seed=seed + 1, channels=(3, 16, BBOX_IN_CH)
+        )
+        # M3/M4 tag-transformer weights: the shared input filter + encoder
+        # stack + cached-decoder stack + embedding/fc head (all consumed by
+        # REAL numpy forwards — transformer_np with reference parity)
+        self.tag_w = {
+            "input_filter": bnp.synthetic_weights(
+                seed=seed + 2,
+                encoder_dim=BBOX_DIM,
+                in_ch=BBOX_IN_CH,
+                attention_dim=BBOX_ATT,
+                tag_decoder_dim=BBOX_DIM,
+                decoder_dim=BBOX_DIM,
+                num_classes=2,
+            )["input_filter"],
+            "enc_layers": tnp.synthetic_encoder_layers(
+                seed=seed + 3, d_model=BBOX_DIM, dim_ff=TAG_FF, num_layers=TAG_LAYERS
+            ),
+            "dec_layers": tnp.synthetic_decoder_layers(
+                seed=seed + 4, d_model=BBOX_DIM, dim_ff=TAG_FF, num_layers=TAG_LAYERS
+            ),
+        }
+        self.tag_w.update(
+            tnp.synthetic_tag_head(
+                seed=seed + 5, d_model=BBOX_DIM, vocab_size=len(tnp.OTSL_WORD_MAP)
+            )
         )
 
     @staticmethod
@@ -93,16 +136,31 @@ class DeterministicTableFormer:
 
         return prepare_image(img, TF_IMG_MEAN, TF_IMG_STD, TF_RESIZED)
 
-    def _decode_table(self, batch):
-        """M2-M5 neural forward is a DETERMINISTIC FAKE seeded by the
-        prepared image tensor (md5-seeded grid of PROPOSED tags, sometimes
-        with lcel spans / ucel / xcel proposals),
-        but everything the real decoder does deterministically around the
-        forward — in-loop grammar corrections, bbox-slot emission, the
-        span-merge registry, cxcywh→xyxy — is the REAL ported semantics
-        (models/decoder_semantics.py, reference-parity-tested against
-        tablemodel04_rs.py:167-319 in tests/test_decoder_semantics_parity.py).
+    def _decode_table(self, batch, sec=None):
+        """M2-M5 as the FULL numpy forward chain (round-4 upgrade): the
+        prepared image tensor runs the real M2 conv/BN/pool encoder
+        (encoder_np, reference-class parity), the real M3 input-filter +
+        transformer encoder (transformer_np), the real M4 cached decode
+        loop (TMTransformerDecoder discipline + last-token layer + in-loop
+        grammar corrections, transformer_np.tag_decode_loop — parity vs
+        tablemodel04_rs.py:161-273 under tests/test_tag_decoder_np.py),
+        and the real M5 bbox forward (bbox_decoder_np) over the decode
+        loop's ACTUAL per-slot hidden states.
+
+        The one non-real step besides the byte→pixel decode: the PROPOSAL
+        tag at each decode step is schedule-forced (md5-seeded grid — the
+        constrained-decoding hook of tag_decode_loop) rather than
+        fc-argmax, because untrained synthetic head weights make greedy
+        argmax degenerate (measured: sequences either never terminate or
+        end immediately). Greedy-argmax parity is separately pinned by
+        tests/test_tag_decoder_np.py; everything downstream of the
+        proposal — corrections feeding back into the next step's
+        embedding, cache updates, tag_H slot states, span-merge registry,
+        cxcywh→xyxy — is the real reference-parity math over real floats.
         """
+        from contextlib import nullcontext
+
+        sec = sec if sec is not None else (lambda _n: nullcontext())
         h = hashlib.md5(
             batch.tobytes() if hasattr(batch, "tobytes") else (batch or b"")
         ).digest()
@@ -134,33 +192,55 @@ class DeterministicTableFormer:
 
         res = decoder_semantics.decode_postfix(proposed)
         rs_seq = [t for t in res.tags if t != "<end>"]
-        # M2→M5: the feature map is a REAL conv/BN/pool forward
-        # (encoder_np, reference-class parity) over a deterministic strided
-        # downsample of the REAL prepared image tensor, and the bbox
-        # decoder is the REAL vectorized numpy forward
-        # (models/bbox_decoder_np.py, reference-parity-tested vs
-        # bbox_decoder_rs.py:131-168 under the computing fake-torch). Only
-        # the per-slot tag-decoder hidden states remain crop-seeded fakes
-        # (the M3/M4 transformer decode is the stubbed stage).
+
         import numpy as np
 
         from docling_ibm_models_spark.models import bbox_decoder_np as bnp
         from docling_ibm_models_spark.models import encoder_np
+        from docling_ibm_models_spark.models import transformer_np as tnp
 
-        side = batch.shape[-1]  # 448 after prepare_image
-        idx = np.linspace(0, side - 1, 4 * BBOX_SPATIAL).astype(int)
-        # prepared pixels are mean/std-normalized (~unit scale) — feed the
-        # synthetic BN stats as-is
-        small = np.asarray(batch, dtype=np.float64)[:, :, idx][:, :, :, idx]
-        enc_out = encoder_np.encoder04_forward(small, self.enc_stack, BBOX_SPATIAL)
-        # standardize the feature map into the regime the synthetic M5
-        # weights were calibrated for (trained checkpoints get this from
-        # BN statistics fitted on real data; per-crop brightness shifts
-        # would otherwise saturate the sigmoid heads)
-        enc_out = (enc_out - enc_out.mean()) / (enc_out.std() + 1e-9) * 0.3
-        rng = np.random.default_rng(int.from_bytes(h[:8], "big"))
-        tag_H = rng.normal(0.0, 0.5, (res.n_slots, BBOX_DIM))
-        logits, boxes = bnp.bbox_inference(self.bbox_w, enc_out, tag_H)
+        # M2: real conv/BN/pool forward (encoder_np, reference-class
+        # parity) over a deterministic strided downsample of the REAL
+        # prepared image tensor (prepared pixels are mean/std-normalized,
+        # ~unit scale — the synthetic BN stats consume them as-is)
+        with sec("model_encoder"):
+            side = batch.shape[-1]  # 448 after prepare_image
+            idx = np.linspace(0, side - 1, 4 * BBOX_SPATIAL).astype(int)
+            small = np.asarray(batch, dtype=np.float64)[:, :, idx][:, :, :, idx]
+            enc_out = encoder_np.encoder04_forward(small, self.enc_stack, BBOX_SPATIAL)
+            # standardize the feature map into the regime the synthetic
+            # weights were calibrated for (trained checkpoints get this
+            # from BN statistics fitted on real data; per-crop brightness
+            # shifts would otherwise saturate the sigmoid heads)
+            enc_out = (enc_out - enc_out.mean()) / (enc_out.std() + 1e-9) * 0.3
+        # M3: real input-filter + transformer encoder over the feature map
+        with sec("model_tag_transformer_encoder"):
+            memory = tnp.tag_encoder_forward(self.tag_w, enc_out, TAG_HEADS)
+        # M4: real cached decode loop — every step embeds the corrected
+        # history, runs the TMTransformerDecoder cache discipline, and
+        # buffers the REAL last-layer hidden state per bbox slot; only the
+        # per-step PROPOSAL is schedule-forced (see docstring)
+        with sec("model_tag_transformer_decoder"):
+            loop = tnp.tag_decode_loop(
+                self.tag_w,
+                memory,
+                tnp.OTSL_WORD_MAP,
+                max_pred_len=len(proposed) + 2,
+                n_heads=TAG_HEADS,
+                forced_tags=[tnp.OTSL_WORD_MAP[t] for t in proposed],
+            )
+        # the loop's corrected stream and slot bookkeeping agree with
+        # decode_postfix over the same proposals (both parity-tested
+        # against the reference loop; decode_postfix supplies the slot→
+        # (row, col) anchors the grid placement below needs)
+        loop_tags = [tnp.OTSL_ID_TO_TAG[i] for i in loop["seq"][1:]]
+        assert loop_tags == list(res.tags), (loop_tags, res.tags)
+        tag_H = loop["tag_H"]
+        assert tag_H.shape[0] == res.n_slots
+        assert dict(loop["bboxes_to_merge"]) == dict(res.bboxes_to_merge)
+        # M5: real bbox forward over the decode loop's ACTUAL slot states
+        with sec("model_bbox_decoder"):
+            logits, boxes = bnp.bbox_inference(self.bbox_w, enc_out, tag_H)
         # anchor the forward's sigmoid outputs as WITHIN-GRID-CELL offsets
         # (YOLO-style): a trained decoder reads the cell's position out of
         # tag_H; random synthetic weights cannot, so the grid supplies the
@@ -233,8 +313,11 @@ class DeterministicTableFormer:
         # seeds the fake decode so the real transform chain is load-bearing
         batch = self._prepare_crop(crop)  # (1, 3, 448, 448) float32
         with sec("predict_total"):
-            with sec("model_tag_transformer_decoder"):
-                rs_seq, bboxes, classes = self._decode_table(batch)
+            # per-stage sections mirror the reference's own profiler names
+            # (tablemodel04_rs.py:130-280): model_encoder,
+            # model_tag_transformer_encoder, model_tag_transformer_decoder,
+            # model_bbox_decoder
+            rs_seq, bboxes, classes = self._decode_table(batch, sec=sec)
             if not otsl_ops.is_square(rs_seq):
                 rs_seq = otsl_ops.pad_to_square(rs_seq, "lcel")
             html_seq = otsl_ops.otsl_to_html(rs_seq)

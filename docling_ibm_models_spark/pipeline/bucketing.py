@@ -34,6 +34,7 @@ the identical un-bucketed join carries two Exchanges.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_bucketed(
@@ -49,7 +50,33 @@ def write_bucketed(
     ``buckets`` should be sized so one bucket of the LARGER table fits an
     executor's scan partition budget (at 10^12 rows: thousands of buckets;
     here 8 keeps the local demo readable). Joins between tables bucketed
-    with the same (key, buckets) are shuffle-free."""
+    with the same (key, buckets) are shuffle-free.
+
+    Guards (overwrite is destructive): refuses to silently repoint an
+    EXISTING catalog table of the same name at a different location, and
+    refuses an output path that is also an input path of ``df`` (a
+    self-overwrite would destroy the data mid-scan)."""
+    spark = df.sparkSession
+    import os
+
+    norm_out = os.path.abspath(path)
+    in_paths = df.inputFiles()
+    if any(os.path.abspath(p.replace("file:", "")).startswith(norm_out + os.sep)
+           or os.path.abspath(p.replace("file:", "")) == norm_out
+           for p in in_paths):
+        raise ValueError(f"write_bucketed: output path {path} overlaps an input path of df")
+    if spark.catalog.tableExists(name):
+        loc = (
+            spark.sql(f"DESCRIBE TABLE EXTENDED {name}")
+            .where(F.col("col_name") == "Location")
+            .select("data_type")
+            .collect()
+        )
+        if loc and loc[0][0].replace("file:", "") != norm_out:
+            raise ValueError(
+                f"write_bucketed: table {name} already exists at {loc[0][0]}, "
+                f"refusing to repoint it to {path}; drop it explicitly first"
+            )
     (
         df.write.bucketBy(buckets, key)
         .sortBy(key)

@@ -28,12 +28,18 @@ _BITS = 16
 
 
 def _norm16(col: Column, lo: Column, hi: Column) -> Column:
-    """Normalize a numeric column to a 16-bit integer rank position."""
+    """Normalize a numeric column to a 16-bit integer rank position.
+    NULL placement is EXPLICIT: NULLs rank 0 (clustered with the minimum,
+    like SQL NULLS FIRST) rather than falling through F.least's
+    NULL-skipping to rank 65535 — otherwise NULL-heavy columns silently
+    degrade min-max skipping on the top-of-range files."""
     span = (hi - lo).cast("double")
     frac = F.when(span > 0, (col.cast("double") - lo) / span).otherwise(F.lit(0.0))
-    return F.least(
-        F.lit((1 << _BITS) - 1),
-        F.floor(frac * ((1 << _BITS) - 1)).cast("long"),
+    return F.when(col.isNull(), F.lit(0).cast("long")).otherwise(
+        F.least(
+            F.lit((1 << _BITS) - 1),
+            F.floor(frac * ((1 << _BITS) - 1)).cast("long"),
+        )
     )
 
 
@@ -55,7 +61,18 @@ def write_zordered(
     parquet files. The min/max per column used for rank normalization are
     computed in one tiny agg and joined back as a broadcast 1-row frame
     (no driver collect of data rows — the two scalars ARE driver-visible,
-    as Iceberg's sort-order planning metadata would be)."""
+    as Iceberg's sort-order planning metadata would be). Refuses an
+    output path that overlaps an input path of ``df`` (an overwrite into
+    a path being scanned destroys the data mid-job)."""
+    import os
+
+    norm_out = os.path.abspath(path)
+    for p in df.inputFiles():
+        ap = os.path.abspath(p.replace("file:", ""))
+        if ap == norm_out or ap.startswith(norm_out + os.sep):
+            raise ValueError(
+                f"write_zordered: output path {path} overlaps an input path of df"
+            )
     bounds = df.agg(
         F.min(col_a).alias("_alo"), F.max(col_a).alias("_ahi"),
         F.min(col_b).alias("_blo"), F.max(col_b).alias("_bhi"),

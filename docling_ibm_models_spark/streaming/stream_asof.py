@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import bisect
 from collections.abc import Iterator
+from decimal import ROUND_HALF_UP, Decimal
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -62,6 +63,14 @@ STATE = StructType(
 )
 
 
+def _round2_half_up(v: float) -> float:
+    """Spark's F.round semantics for doubles (BigDecimal HALF_UP over the
+    shortest decimal representation) — Python's builtin round() is
+    banker's rounding and would diverge from the batch twin on exact .005
+    binary ties (e.g. 0.125 → 0.12 vs Spark's 0.13)."""
+    return float(Decimal(repr(float(v))).quantize(Decimal("0.01"), rounding=ROUND_HALF_UP))
+
+
 def _merge_purchases(p_ts: list, p_val: list, arrivals) -> None:
     """Insert (ts, val) arrivals keeping p_ts sorted and one entry per ts
     with the max value (the batch twin's tie rule)."""
@@ -87,7 +96,7 @@ def _emit_ready(p_ts, p_val, c_ts, c_id, wm_us: int):
                     "click_id": cid,
                     "user_id": None,  # filled by caller
                     "asof_ts_us": p_ts[i] if i >= 0 else -1,
-                    "asof_val": round(p_val[i], 2) if i >= 0 else -1.0,
+                    "asof_val": _round2_half_up(p_val[i]) if i >= 0 else -1.0,
                 }
             )
         else:
@@ -138,12 +147,18 @@ def _asof(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
     rows, c_ts, c_id = _emit_ready(p_ts, p_val, c_ts, c_id, wm_us)
     _evict_purchases(p_ts, p_val, wm_us)
 
-    state.update((p_ts, p_val, c_ts, c_id))
-    if c_ts:
-        # flush the earliest pending click as soon as the watermark passes
-        # it (ms-unit API; +1 so strict `<` still holds at the boundary)
-        horizon_ms = c_ts[0] // 1000 + 1
-        state.setTimeoutTimestamp(max(horizon_ms, state.getCurrentWatermarkMs() + 1))
+    if not p_ts and not c_ts:
+        # nothing left to answer from or flush: drop the state row so
+        # state stays O(watermark window), not O(total user cardinality)
+        # (a later event for this user simply recreates it)
+        state.remove()
+    else:
+        state.update((p_ts, p_val, c_ts, c_id))
+        if c_ts:
+            # flush the earliest pending click as soon as the watermark
+            # passes it (ms-unit API; +1 so strict `<` holds at the edge)
+            horizon_ms = c_ts[0] // 1000 + 1
+            state.setTimeoutTimestamp(max(horizon_ms, state.getCurrentWatermarkMs() + 1))
 
     if rows:
         for r in rows:
@@ -153,12 +168,16 @@ def _asof(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
 
 def asof_stream(events_stream: DataFrame, watermark_delay: str = "0 seconds") -> DataFrame:
     """click/purchase event stream → as-of-enriched clicks (see module
-    docstring). NOTE: although the watermark is declared before the type
-    filter, Catalyst pushes the deterministic filter BELOW the
-    EventTimeWatermark node, so only click/purchase rows advance the
-    watermark — a drain fence must be one of those types (a far-future
-    'purchase' for a sentinel user is inert: it enters state but nothing
-    ever emits for a user with no clicks)."""
+    docstring). Watermark/filter ordering (pinned by
+    tests/test_stream_asof.py::test_fence_semantics_any_type_advances):
+    the type filter stays ABOVE the EventTimeWatermark node in the
+    analyzed plan (Catalyst does not reorder across it), so EVERY event
+    row — any event_type — advances the watermark. The drain protocol
+    still fences with a far-future 'purchase' for a sentinel user: it
+    works under either plan shape (a filtered-out type would stop
+    advancing the watermark if a future Spark version pushed the filter
+    below the node), and it is inert in state (nothing ever emits for a
+    user with no clicks)."""
     ev = events_stream.withColumn("ts", F.col("ts").cast("timestamp"))
     ev = ev.withWatermark("ts", watermark_delay)
     ev = ev.where(F.col("event_type").isin("click", "purchase")).select(

@@ -79,3 +79,27 @@ def test_bucketed_join_content_equal(spark, bucketed_tables):
         F.round(F.sum("o_totalprice"), 2).alias("s"),
     )
     assert j.collect() == plain.collect()
+
+
+def test_write_bucketed_guards(spark, tmp_path):
+    """Destructive-overwrite guards: an existing same-name table at a
+    DIFFERENT location is never silently repointed, and an output path
+    overlapping df's input paths is refused."""
+    import pytest
+
+    from docling_ibm_models_spark.pipeline.bucketing import write_bucketed
+
+    df = spark.range(10).withColumnRenamed("id", "k")
+    p1 = str(tmp_path / "t1")
+    write_bucketed(df, "guard_tbl", p1, "k", buckets=2)
+    with pytest.raises(ValueError, match="already exists at"):
+        write_bucketed(df, "guard_tbl", str(tmp_path / "t2"), "k", buckets=2)
+    # same location is allowed (a legitimate refresh)
+    write_bucketed(df, "guard_tbl", p1, "k", buckets=2)
+
+    src = str(tmp_path / "bsrc")
+    df.write.parquet(src)
+    loaded = spark.read.parquet(src)
+    with pytest.raises(ValueError, match="overlaps an input path"):
+        write_bucketed(loaded, "guard_tbl2", src, "k", buckets=2)
+    spark.sql("DROP TABLE IF EXISTS guard_tbl")

@@ -160,6 +160,12 @@ def test_new_tpch_shapes_plan_quality(spark):
         plan = plan_of(QUERIES[name](spark, SF_MED))
         assert "BroadcastHashJoin" in plan, name
         assert "BatchEvalPython" not in plan, name
+    # q9 (round 4, derived partsupp): dims broadcast, the composite-key
+    # partsupp join is hash-based, no cartesian, no Python nodes
+    plan = plan_of(QUERIES["tpch_q9_product_profit"](spark, SF_MED))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     # q19: Catalyst derives the disjunction's fact-side hull and pushes
     # a quantity filter into the lineitem scan
     plan = plan_of(QUERIES["tpch_q19_disjunctive_revenue"](spark, SF_MED))
@@ -282,11 +288,13 @@ def test_materialized_results_are_distributed_scans(spark):
     is a FileScan (no LocalTableScan / in-memory relation), and after the
     query finishes NO persistent RDDs linger (cache hygiene preserved
     without moving result rows through the driver)."""
+    jsc = spark.sparkContext._jsc
+    pre = {int(k) for k in jsc.getPersistentRDDs().keySet().toArray()}
     for name in ("dedup_minhash_verified", "dedup_clusters", "link_pagerank"):
         out = QUERIES[name](spark, SF_MED)
         plan = plan_of(out)
         assert "Scan parquet" in plan, f"{name}: result is not a parquet scan"
         assert "LocalTableScan" not in plan, f"{name}: result collected to driver"
         assert out.count() > 0, name
-        jmap = spark.sparkContext._jsc.getPersistentRDDs()
-        assert jmap.size() == 0, f"{name}: {jmap.size()} cached RDDs linger"
+        new = {int(k) for k in jsc.getPersistentRDDs().keySet().toArray()} - pre
+        assert not new, f"{name}: cached RDDs {new} linger after the query"

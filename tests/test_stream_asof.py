@@ -165,3 +165,56 @@ def test_asof_helpers_match_bruteforce():
             else:
                 assert r["asof_ts_us"] == -1 and r["asof_val"] == -1.0
         assert keep_ts == [t for t, _ in clicks if t >= wm]
+
+
+def test_fence_semantics_any_type_advances(spark, tmp_path):
+    """Watermark-fence semantics pin (round-3 ADVICE sharp edge, settled
+    empirically + by the analyzed plan): the event-type filter sits ABOVE
+    the EventTimeWatermark node, so EVERY row — even a filtered-out type —
+    advances the watermark. Two assertions: (a) the plan shape itself
+    (Filter above EventTimeWatermark), (b) the behavior (a far-future
+    'view' fence flushes all pending clicks). If Spark ever starts pushing
+    the filter below the watermark node, BOTH fail loudly — the drain
+    protocol (which fences with 'purchase', safe under either shape) needs
+    no change, but the documented semantics would."""
+    from docling_ibm_models_spark.streaming.stream_asof import asof_stream
+
+    batch = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    ev_dir = str(tmp_path / "events")
+    batch.write.parquet(ev_dir)
+    out_dir = str(tmp_path / "asof")
+    ckpt = str(tmp_path / "ckpt")
+
+    # (a) plan shape: Filter above EventTimeWatermark in the analyzed plan
+    plan = (
+        asof_stream(spark.readStream.schema(batch.schema).parquet(ev_dir))
+        ._jdf.queryExecution().analyzed().toString()
+    )
+    assert plan.index("Filter") < plan.index("EventTimeWatermark"), plan[:800]
+
+    # (b) behavior: a filtered-out fence type still flushes everything
+    _drain(spark, batch.schema, ev_dir, out_dir, ckpt)
+    max_ts = batch.agg(F.max("ts")).collect()[0][0]
+    view_fence = (
+        batch.limit(1)
+        .withColumn("user_id", F.lit(FENCE_USER).cast("long"))
+        .withColumn("event_type", F.lit("view"))  # filtered out upstream
+        .withColumn("ts", F.lit(max_ts) + F.expr("INTERVAL 2 HOURS"))
+        .select(*batch.columns)
+    )
+    view_fence.write.mode("append").parquet(ev_dir)
+    _drain(spark, batch.schema, ev_dir, out_dir, ckpt)
+    n_batch = QUERIES["events_asof_join"](spark, SF_SMALL).count()
+    assert spark.read.parquet(out_dir).count() == n_batch
+
+
+def test_round_half_up_matches_spark_round():
+    """The stream emits F.round-compatible half-up values even on exact
+    binary .005 ties where Python's round() banks to even."""
+    from docling_ibm_models_spark.streaming.stream_asof import _round2_half_up
+
+    assert _round2_half_up(0.125) == 0.13  # round() gives 0.12
+    assert _round2_half_up(0.375) == 0.38  # round() gives 0.38 too, but...
+    assert _round2_half_up(2.675) == 2.68  # repr-based: Spark semantics
+    assert _round2_half_up(-0.125) == -0.13
+    assert _round2_half_up(1.0) == 1.0

@@ -141,3 +141,33 @@ def test_grammar_corrections_feed_back(w_tag):
         ), enc, n_heads=N_HEADS, dim_ff=DIM_FF, max_pred_len=8,
     )
     assert res["seq"] == ref_seq
+
+
+def test_forced_decode_matches_postfix_and_depends_on_image(w_tag):
+    """The serving path's constrained decode (forced proposal schedule):
+    (a) corrected stream + slot/merge bookkeeping equal decode_postfix
+    over the same proposals (both parity-tested vs the reference loop);
+    (b) the emitted tag_H slot states are REAL forward outputs — they
+    depend on the encoder memory, so the same schedule over two different
+    images yields different slot states (the property that makes the M5
+    bbox forward image-dependent in serving)."""
+    proposed = ["fcel", "xcel", "nl", "fcel", "ucel", "lcel", "nl",
+                "fcel", "lcel", "lcel", "nl", "<end>"]
+    forced = [WORD_MAP_TAG[t] for t in proposed]
+    sem = decoder_semantics.decode_postfix(proposed)
+
+    outs = []
+    for enc_seed in (3, 11):
+        memory = tnp.encoder_forward(
+            w_tag["enc_layers"], bnp.encoder_input_prep(w_tag, _enc(enc_seed)), N_HEADS
+        )
+        res = tnp.tag_decode_loop(
+            w_tag, memory, WORD_MAP_TAG, len(proposed) + 2, N_HEADS,
+            forced_tags=forced,
+        )
+        tags = [ID_TO_TAG[i] for i in res["seq"][1:]]
+        assert tags == list(sem.tags)
+        assert res["tag_H"].shape[0] == sem.n_slots > 0
+        assert dict(res["bboxes_to_merge"]) == dict(sem.bboxes_to_merge)
+        outs.append(res["tag_H"])
+    assert not np.allclose(outs[0], outs[1])

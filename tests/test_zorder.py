@@ -60,3 +60,26 @@ def test_zorder_shrinks_file_spans_and_preserves_content(spark, tmp_path):
     b = spark.read.parquet(zordered)
     assert a.count() == b.count()
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_zorder_null_rank_and_self_overwrite_guard(spark, tmp_path):
+    """NULLs rank 0 (NULLS-FIRST clustering, explicit) and writing back
+    into an input path is refused."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from docling_ibm_models_spark.pipeline.zorder import _norm16, write_zordered
+
+    df = spark.createDataFrame(
+        [(None, 1.0), (0.0, 2.0), (100.0, 3.0)], "a double, b double"
+    )
+    ranks = df.select(
+        _norm16(F.col("a"), F.lit(0.0), F.lit(100.0)).alias("r")
+    ).collect()
+    assert [r.r for r in ranks] == [0, 0, 65535]
+
+    src = str(tmp_path / "zsrc")
+    df.write.parquet(src)
+    loaded = spark.read.parquet(src)
+    with pytest.raises(ValueError, match="overlaps an input path"):
+        write_zordered(loaded, src, "a", "b")
