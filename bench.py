@@ -200,6 +200,80 @@ def worker(master: str, pages_path: str, out_path: str, task_cpus: int = 1) -> d
     }
 
 
+def skew_worker(master: str, skew_path: str, out_path: str, mode: str) -> dict:
+    """One timed extraction run over the ADVERSARIALLY SKEWED pages layout
+    (pages_source.skewed_pages_path: ~90% of rows in ONE parquet file).
+
+    mode='narrow'  — the default shuffle-free plan: scan splits == files, so
+                     one task owns ~90% of the extraction work (the hostile
+                     case byte-balanced splits cannot fix).
+    mode='salted'  — salt_partition first (url-hash repartition): one cheap
+                     shuffle of the raw bytes buys an even work distribution.
+
+    Evidence for the north rule's "skew handled explicitly": the same job,
+    same input rows, crossover measured (BENCH_DETAIL.json skew_probe).
+    """
+    cores = int(master.split("[")[1].rstrip("]"))
+    from docling_ibm_models_spark.session import get_spark
+
+    spark = get_spark(f"bench-skew-{mode}", master=master, shuffle_partitions=cores)
+    from docling_ibm_models_spark.pipeline.extract import doc_text_clean, extract_doc_text
+
+    pages = spark.read.parquet(skew_path)
+    kw = {} if mode == "narrow" else {"num_partitions": cores}
+
+    # warmup pass (python workers import pandas/pyarrow; OS page cache)
+    doc_text_clean(extract_doc_text(pages, **kw)).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    walls = []
+    for _ in range(int(os.environ.get("BENCH_TIMED_PASSES", "2"))):
+        t0 = time.monotonic()
+        out = doc_text_clean(extract_doc_text(pages, **kw))
+        out.write.mode("overwrite").parquet(out_path)
+        walls.append(round(time.monotonic() - t0, 3))
+    from pyspark.sql import functions as F
+
+    chars = spark.read.parquet(out_path).agg(F.sum("n_chars")).collect()[0][0]
+    n = spark.read.parquet(out_path).count()
+    spark.stop()
+    return {
+        "mode": mode,
+        "wall_s": min(walls),
+        "walls": walls,
+        "pages": n,
+        "chars": int(chars or 0),
+    }
+
+
+def run_skew_probe() -> dict:
+    """Adversarial-skew crossover probe (VERDICT r3 item 6): extraction over
+    a hostile one-hot-file layout, narrow vs salted, each in its own JVM."""
+    spark = _spark(f"local[{CPUS}]", CPUS)
+    from docling_ibm_models_spark.sources.pages_source import skewed_pages_path
+
+    skew_path = skewed_pages_path(spark, SF_DIR, replicas=4, files=CPUS)
+    spark.stop()
+
+    res = {}
+    for mode in ("narrow", "salted"):
+        with tempfile.TemporaryDirectory() as td:
+            p = subprocess.run(
+                [sys.executable, __file__, "--skew-worker", f"local[{CPUS}]",
+                 skew_path, f"{td}/out", mode],
+                capture_output=True, text=True, timeout=1800,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+        if p.returncode != 0:
+            raise RuntimeError(f"skew worker {mode} failed:\n{p.stderr[-3000:]}")
+        res[mode] = json.loads(p.stdout.strip().splitlines()[-1])
+    res["identical_chars"] = res["narrow"]["chars"] == res["salted"]["chars"]
+    res["speedup_salted"] = round(res["narrow"]["wall_s"] / res["salted"]["wall_s"], 2)
+    _log(f"[skew] narrow {res['narrow']['wall_s']}s vs salted "
+         f"{res['salted']['wall_s']}s -> {res['speedup_salted']}x")
+    return res
+
+
 def run_worker_subprocess(master: str, pages_path: str, task_cpus: int = 1) -> dict:
     with tempfile.TemporaryDirectory() as td:
         res = subprocess.run(
@@ -409,6 +483,9 @@ def main() -> None:
         tc = int(sys.argv[5]) if len(sys.argv) > 5 else 1
         print(json.dumps(worker(sys.argv[2], sys.argv[3], sys.argv[4], tc)))
         return
+    if len(sys.argv) > 1 and sys.argv[1] == "--skew-worker":
+        print(json.dumps(skew_worker(sys.argv[2], sys.argv[3], sys.argv[4], sys.argv[5])))
+        return
 
     pages_path, n_pages = materialize_pages()
 
@@ -430,6 +507,12 @@ def main() -> None:
     # 1 decimal keeps the compact line inside the 1900-char budget as the
     # query registry grows; full-precision walls live in BENCH_DETAIL.json
     extra = run_extra_queries()
+
+    # adversarial-skew crossover evidence (north rule: skew handled
+    # explicitly) — hostile one-hot-file layout, narrow vs salted plans
+    skew = run_skew_probe()
+    extra["skew_narrow"] = skew["narrow"]["wall_s"]
+    extra["skew_salted"] = skew["salted"]["wall_s"]
 
     # Phase B: two more pairs ~15 min after phase A (unconditional, so the
     # estimator stays unbiased). Sustained contention windows on this VM
@@ -475,6 +558,7 @@ def main() -> None:
         "cold_start_s": [r["cold_start_s"] for r in fulls],
     }
     detail["query_walls"] = extra
+    detail["skew_probe"] = skew
     # determinism across parallelism levels: identical total output chars
     all_chars = {c for p in pairs for c in p["chars"]} | {r["chars"] for r in fulls}
     identical_outputs = len(all_chars) == 1

@@ -44,18 +44,29 @@ _EXTRACT_SCHEMA = StructType(
 
 
 def salt_partition(df: DataFrame, num_partitions: int, key: str = "url") -> DataFrame:
-    """Explicit skew neutralization for KEYED downstream ops:
-    ``partition_id = pmod(xxhash64(key), P)`` + co-locating repartition.
+    """Explicit skew neutralization for KEYED downstream ops: hash-shuffle
+    on the FULL key, then tag each row with its physical partition index.
 
-    xxhash64 is JVM-side (whole-stage codegen). Use before keyed
-    aggregations/joins whose key distribution is hostile (north rule:
-    "partitioning / shuffle / skew handled explicitly"); the narrow
-    extraction path deliberately does not use it — see module docstring.
+    The repartition hashes the raw key value (murmur3, JVM-side), so rows
+    spread near-uniformly over ``num_partitions`` regardless of how hostile
+    the on-disk layout or host distribution is (north rule: "partitioning /
+    shuffle / skew handled explicitly"). ``partition_id`` is then BY
+    CONSTRUCTION aligned with the physical partition (``pmod(murmur3(key),
+    P)`` — deterministic per key), so per-partition lineage accounting
+    (wall_s) stays meaningful.
+
+    Earlier versions computed ``partition_id = pmod(xxhash64(key), P)``
+    first and repartitioned ON that column — balls-in-bins: murmur3 over
+    only P distinct bucket tags leaves ~1/e of the physical partitions
+    empty and stacks others 2-3×, i.e. the skew tool itself re-introduced
+    skew (pinned by tests/test_skew_salting.py).
+
+    The narrow extraction path deliberately does not salt — see module
+    docstring.
     """
-    return df.withColumn(
-        "partition_id",
-        F.pmod(F.xxhash64(F.col(key)), F.lit(num_partitions)).cast("int"),
-    ).repartition(num_partitions, F.col("partition_id"))
+    return df.repartition(num_partitions, F.col(key)).withColumn(
+        "partition_id", F.spark_partition_id()
+    )
 
 
 def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

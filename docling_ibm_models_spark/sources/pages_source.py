@@ -23,6 +23,7 @@ import random
 from collections.abc import Iterator
 
 import pandas as pd
+from pyspark.sql import functions as F
 
 from docling_ibm_models_spark.functions.html_extract import (
     MIN_CONTENT_CHARS,
@@ -189,6 +190,57 @@ def cached_pages_path(spark, sf_dir: str, replicas: int = 1) -> str:
 
 def cached_pages(spark, sf_dir: str, replicas: int = 1):
     return spark.read.parquet(cached_pages_path(spark, sf_dir, replicas))
+
+
+def write_skewed_pages(
+    spark, pages_df, out_path: str, files: int = 32, hot_frac: float = 0.9
+) -> None:
+    """Write ``pages_df`` as an ADVERSARIALLY HOST-SKEWED parquet layout:
+    ``hot_frac`` of the rows land in ONE file, the rest spread over the
+    remaining ``files - 1``.
+
+    This emulates the hostile crawl layout the narrow extraction path's
+    byte-balanced scan splits cannot fix: one WARC-style file owned by a
+    single dominant host (or a compressed region whose per-byte extraction
+    cost dwarfs its scan bytes). At local sf the hot file is far below
+    ``spark.sql.files.maxPartitionBytes``, so it becomes exactly one scan
+    split — one task owns ``hot_frac`` of all extraction work, which is the
+    skew :func:`docling_ibm_models_spark.pipeline.extract.salt_partition`
+    exists to neutralize (north rule: skew handled explicitly).
+    """
+    hot_key = F.when(
+        F.pmod(F.xxhash64(F.col("url")), F.lit(1000)) < int(hot_frac * 1000),
+        F.lit("__hot__"),
+    ).otherwise(F.col("url"))
+    (
+        pages_df.repartition(files, hot_key)
+        .write.mode("overwrite")
+        .parquet(out_path)
+    )
+
+
+def skewed_pages_path(
+    spark, sf_dir: str, replicas: int = 4, files: int = 32, hot_frac: float = 0.9
+) -> str:
+    """Cached skewed-layout twin of :func:`cached_pages_path` (same rows,
+    hostile file distribution). Used by the bench skew probe and tests."""
+    import hashlib
+    import os
+    import tempfile
+
+    from docling_ibm_models_spark.functions import html_extract
+
+    h = hashlib.md5()
+    for mod_file in (__file__, html_extract.__file__):
+        with open(mod_file, "rb") as f:
+            h.update(f.read())
+    gen_hash = h.hexdigest()[:12]
+    key = f"{sf_dir.replace('/', '_')}-r{replicas}-f{files}-h{hot_frac}-{gen_hash}"
+    path = os.path.join(tempfile.gettempdir(), "bench_pages_cache", key, "pages_skew")
+    if not os.path.exists(f"{path}/_SUCCESS"):
+        pages = cached_pages(spark, sf_dir, replicas=replicas)
+        write_skewed_pages(spark, pages, path, files=files, hot_frac=hot_frac)
+    return path
 
 
 def pages_from_documents(
