@@ -4886,6 +4886,259 @@ def tpch_q9_product_profit(spark, sf_dir):
 
 
 # ===========================================================================
+# Round-4 additions: stratified sequence packing, SemDeDup-style embedding
+# cluster stats, cohort retention, ordered funnel
+# ===========================================================================
+
+@register(
+    "corpus_sequence_packing_stratified",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             {_h32_sql("'shard|' || doc_id::VARCHAR")} % 8 AS shard,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+      FROM documents
+    ),
+    packed AS (
+      SELECT doc_id, lang, shard, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS cum
+      FROM toks
+    )
+    SELECT doc_id, lang, shard, n_tokens,
+           (cum - n_tokens) // 512 AS seq_id,
+           (cum - n_tokens) % 512 AS seq_offset,
+           CASE WHEN (cum - n_tokens) // 512 <> (cum - 1) // 512
+                THEN 1 ELSE 0 END AS crosses_boundary
+    FROM packed ORDER BY lang, shard, doc_id
+    """,
+)
+def corpus_sequence_packing_stratified(spark, sf_dir):
+    """Per-language STRATIFIED sequence packing — the production shape the
+    base ``corpus_sequence_packing`` docstring promises: the shard key is
+    ``lang × hash-bucket``, so each language's token stream packs into its
+    own fixed-512 sequences AND the running-sum window partitions by a key
+    whose cardinality scales with the corpus (8 buckets here; thousands at
+    100 TB). That bounds every window partition to corpus_size/(langs ×
+    buckets) rows — no window partition ever approaches driver or executor
+    memory, while packing stays deterministic (bucket = md5 of doc_id, the
+    cross-engine common hash) and reproducible across cluster sizes.
+    [engine addition: GPT-style dataset serialization, stratified]"""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        (_h32_spark(F.col("doc_id").cast("string"), seed="shard|") % 8).alias("shard"),
+        n_tokens.alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("lang", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = toks.withColumn("cum", F.sum("n_tokens").over(w))
+    start = F.col("cum") - F.col("n_tokens")
+    return packed.select(
+        "doc_id",
+        "lang",
+        "shard",
+        "n_tokens",
+        F.floor(start / 512).alias("seq_id"),
+        (start % 512).alias("seq_offset"),
+        F.when(F.floor(start / 512) != F.floor((F.col("cum") - 1) / 512), 1)
+        .otherwise(0)
+        .alias("crosses_boundary"),
+    ).orderBy("lang", "shard", "doc_id")
+
+
+@register(
+    "embedding_semdedup",
+    oracle="""
+    WITH longf AS (
+      SELECT e.vec_id, e.label, d.range AS pos, e.embedding[d.range]::DOUBLE AS v
+      FROM embeddings e, range(1, 65) d
+    ),
+    cent AS (
+      SELECT label, pos, round(avg(v), 6) AS c
+      FROM longf GROUP BY label, pos
+    ),
+    cv AS (
+      SELECT label, list(c ORDER BY pos) AS cvec FROM cent GROUP BY label
+    ),
+    sims AS (
+      SELECT e.vec_id, e.label,
+             round(list_dot_product(e.embedding::DOUBLE[], cv.cvec) /
+                   (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(cv.cvec, cv.cvec))), 4) AS centroid_cos
+      FROM embeddings e JOIN cv USING (label)
+    )
+    SELECT vec_id, label, centroid_cos,
+           row_number() OVER (PARTITION BY label
+                              ORDER BY centroid_cos DESC, vec_id)
+             AS rank_in_cluster
+    FROM sims ORDER BY label, rank_in_cluster
+    """,
+)
+def embedding_semdedup(spark, sf_dir):
+    """SemDeDup-style cluster-centroid proximity (Abbas et al. 2023,
+    arXiv:2303.09540): per cluster (``label`` stands in for the k-means
+    assignment), compute the centroid, then every member's cosine to its
+    centroid and its within-cluster proximity rank — the signal SemDeDup
+    thresholds to drop semantic duplicates near the centroid.
+
+    Scale shape: the centroid pass is posexplode → groupBy(label, pos) —
+    the explode is a narrow pipelined op and map-side partial agg reduces
+    each task's contribution to (labels × dim) partial sums, so the
+    shuffle carries ~k·d rows regardless of corpus size. The tiny centroid
+    table is then broadcast back and the cosine evaluates JVM-side
+    (zip_with/aggregate) with no second pass over exploded data.
+    Centroid components round to 6 dp before the cosine so both engines
+    fold identical arrays; ranks order by the ROUNDED cosine with vec_id
+    tiebreak (cross-engine total order)."""
+    from pyspark.sql import Window
+
+    emb = _t(spark, sf_dir, "embeddings")
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    longf = emb.select(
+        "label", F.posexplode(dbl).alias("pos", "v")
+    )
+    cent = longf.groupBy("label", "pos").agg(F.round(F.avg("v"), 6).alias("c"))
+    cv = (
+        cent.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select("label", F.transform("pc", lambda s: s["c"]).alias("cvec"))
+    )
+    sims = (
+        emb.join(F.broadcast(cv), "label")
+        .select(
+            "vec_id",
+            "label",
+            F.round(_cos_spark(dbl, F.col("cvec")), 4).alias("centroid_cos"),
+        )
+    )
+    w = Window.partitionBy("label").orderBy(F.col("centroid_cos").desc(), "vec_id")
+    return sims.withColumn("rank_in_cluster", F.row_number().over(w)).orderBy(
+        "label", "rank_in_cluster"
+    )
+
+
+@register(
+    "events_retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, min(ts::DATE) AS cohort_day FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, ts::DATE AS day FROM events
+    )
+    SELECT strftime(f.cohort_day, '%Y-%m-%d') AS cohort_day,
+           date_diff('day', f.cohort_day, a.day) AS day_offset,
+           count(DISTINCT a.user_id) AS n_users
+    FROM activity a JOIN firsts f USING (user_id)
+    GROUP BY f.cohort_day, day_offset
+    ORDER BY cohort_day, day_offset
+    """,
+)
+def events_retention_cohorts(spark, sf_dir):
+    """Cohort retention triangle: users grouped by first-activity day,
+    counted per day-offset of later activity — the standard engagement
+    rollup every event pipeline ships. Two shuffles, both on user_id
+    (first-day agg + the distinct), then one small agg on (cohort, offset);
+    at 10^12 events both user_id shuffles benefit from map-side combine
+    and AQE skew splitting, and the result is O(days²) rows regardless of
+    input size. Dates compared as formatted strings (determinism rule)."""
+    ev = _t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("cohort_day"))
+    activity = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    return (
+        activity.join(firsts, "user_id")
+        .groupBy(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff("day", "cohort_day").alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+@register(
+    "events_funnel",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > v.t1
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2
+      GROUP BY e.user_id
+    )
+    SELECT stage, n_users FROM (
+      SELECT '1_view' AS stage, count(*) AS n_users FROM v
+      UNION ALL SELECT '2_click_after_view', count(*) FROM c
+      UNION ALL SELECT '3_purchase_after_click', count(*) FROM p
+    ) ORDER BY stage
+    """,
+)
+def events_funnel(spark, sf_dir):
+    """Ordered conversion funnel (view → click → purchase, strictly
+    later timestamps): per stage, the count of users who completed the
+    prefix in order. Each stage is a keyed agg plus an equi-join on
+    user_id against the previous stage's (user, first-completion-time)
+    frame — the sequential constraint lives in the join filter, never in
+    a per-user sort or collect_list. All three shuffles key on user_id,
+    so AQE coalesces them into one exchange reuse at scale; stage frames
+    shrink monotonically (funnel property), making the later joins
+    broadcast-eligible in real workloads."""
+    ev = _t(spark, sf_dir, "events")
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    counts = [
+        v.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit("1_view").alias("stage"), "n_users"
+        ),
+        c.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit("2_click_after_view").alias("stage"), "n_users"
+        ),
+        p.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit("3_purchase_after_click").alias("stage"), "n_users"
+        ),
+    ]
+    out = counts[0]
+    for frame in counts[1:]:
+        out = out.unionByName(frame)
+    return out.orderBy("stage")
+
+
+# ===========================================================================
 # Registry ordering — the driver's CORRECTNESS check windows the FIRST 50
 # entries of ``queries()``.  Round 3 proved the window is a hard cap: the 40
 # queries registered after position 50 (every SURVEY §2 operator query, the
@@ -4915,10 +5168,12 @@ _WINDOW_PRIORITY = [
     "events_pivot_daily", "events_user_segments", "corpus_bigram_lm",
     # -- queries new/modified this round — need a driver row --
     "dedup_clusters", "dedup_minhash_verified", "tpch_q9_product_profit",
-    # -- headline representatives of the r3-green blocks --
-    "tpch_q1_pricing", "events_sessionize", "dedup_exact",
-    "dedup_minhash_lsh", "ann_cosine_topk", "corpus_curation",
-    "lang_id",
+    "corpus_sequence_packing_stratified", "embedding_semdedup",
+    "events_retention_cohorts", "events_funnel",
+    # -- headline representatives of the r3-green blocks (the displaced
+    #    ones — events_sessionize, dedup_minhash_lsh, ann_cosine_topk,
+    #    corpus_curation — were driver-green in r3 and keep local oracles) --
+    "tpch_q1_pricing", "dedup_exact", "lang_id",
 ]
 
 
