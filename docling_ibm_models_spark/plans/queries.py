@@ -5138,6 +5138,52 @@ def events_funnel(spark, sf_dir):
     return out.orderBy("stage")
 
 
+@register(
+    "events_rolling_24h",
+    oracle="""
+    SELECT event_id, user_id, floor(epoch(ts))::BIGINT AS ep,
+           round(sum(value) OVER w, 2) AS roll_sum_24h,
+           count(*) OVER w AS roll_cnt_24h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY floor(epoch(ts))::BIGINT
+                 RANGE BETWEEN 86399 PRECEDING AND CURRENT ROW)
+    ORDER BY user_id, ep, event_id
+    """,
+)
+def events_rolling_24h(spark, sf_dir):
+    """Per-user 24-hour ROLLING aggregates — the RANGE (value-interval)
+    window frame, the one window shape rows-frames can't express: the
+    frame holds every event whose timestamp falls in (t-24h, t], however
+    many rows that is. Ordering by epoch seconds keeps the frame
+    arithmetic integer-identical across engines, and RANGE frames make
+    same-timestamp peers all see the same aggregate (order-independent,
+    so no tiebreak is needed for determinism of the VALUES — only the
+    output sort carries the event_id tiebreak). One shuffle on user_id +
+    one per-partition sort; at 10^12 events this is the canonical
+    "sliding features over user history" shape feeding feature stores,
+    and AQE skew-split handles hot users."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ep", F.unix_timestamp("ts").cast("long")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ep")
+        .rangeBetween(-86399, Window.currentRow)
+    )
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            "ep",
+            F.round(F.sum("value").over(w), 2).alias("roll_sum_24h"),
+            F.count(F.lit(1)).over(w).alias("roll_cnt_24h"),
+        )
+        .orderBy("user_id", "ep", "event_id")
+    )
+
+
 # ===========================================================================
 # Registry ordering — the driver's CORRECTNESS check windows the FIRST 50
 # entries of ``queries()``.  Round 3 proved the window is a hard cap: the 40
@@ -5169,11 +5215,12 @@ _WINDOW_PRIORITY = [
     # -- queries new/modified this round — need a driver row --
     "dedup_clusters", "dedup_minhash_verified", "tpch_q9_product_profit",
     "corpus_sequence_packing_stratified", "embedding_semdedup",
-    "events_retention_cohorts", "events_funnel",
+    "events_retention_cohorts", "events_funnel", "events_rolling_24h",
     # -- headline representatives of the r3-green blocks (the displaced
     #    ones — events_sessionize, dedup_minhash_lsh, ann_cosine_topk,
-    #    corpus_curation — were driver-green in r3 and keep local oracles) --
-    "tpch_q1_pricing", "dedup_exact", "lang_id",
+    #    corpus_curation, lang_id — were driver-green in r3 and keep
+    #    local oracles) --
+    "tpch_q1_pricing", "dedup_exact",
 ]
 
 

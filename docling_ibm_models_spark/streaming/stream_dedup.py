@@ -19,11 +19,13 @@ Scale notes (10^12 docs):
   16-byte-key shuffle the batch twin does once.
 * When the duplicate horizon is bounded (re-crawl dups arrive within days
   of each other), the built-in ``dropDuplicatesWithinWatermark`` is the
-  preferred bounded-state form: identical emission semantics while dups
-  fall inside the watermark, state evicted after it. This module keeps the
-  explicit ``applyInPandasWithState`` form because the keep-min tiebreak
-  and the cross-restart guarantee are the parts worth pinning in tests —
-  and because it is the template the sessionizer/sketch operators share.
+  preferred bounded-state form — the engine ships it as
+  ``stream_extract.stream_dedup_pages`` (state evicted past the
+  watermark). This module is its unbounded-exact complement: the explicit
+  ``applyInPandasWithState`` form pins the keep-min tiebreak and the
+  cross-restart never-re-emit guarantee, which the watermark form cannot
+  promise once dups span beyond the horizon — and it is the template the
+  sessionizer/sketch operators share.
 * Output is append-only by construction (a key emits at most once ever),
   so any downstream sink — parquet, Kafka, MERGE — composes without
   dedup-on-read.
