@@ -627,8 +627,11 @@ def main() -> None:
         r["queries"] = keep
 
     line = json.dumps(result, separators=(",", ":"))
-    for shed in (_shed_median, _shed_identical, _shed_extract_walls,
-                 _shed_query_precision, _shed_fast_queries):
+    # eff_median_clean sheds LAST: round-3's verdict wants BOTH scaling
+    # estimators visible on the driver-recorded line; per-query walls are
+    # the payload that can always be recovered from BENCH_DETAIL.json
+    for shed in (_shed_identical, _shed_extract_walls,
+                 _shed_query_precision, _shed_fast_queries, _shed_median):
         if len(line) <= 1900:
             break
         shed(result)

@@ -80,25 +80,40 @@ MEDIA_META = StructType(
 )
 
 
-def media_metadata_stage(df: DataFrame, payload_col: str = "html") -> DataFrame:
-    """binary column → (mime, size, hash, stub features), Arrow-batched."""
+def media_metadata_stage(
+    df: DataFrame, payload_col: str = "html", include_features: bool = True
+) -> DataFrame:
+    """binary column → (mime, size, hash[, stub features]), Arrow-batched.
+
+    ``include_features=False`` is manual column pruning across the UDF
+    boundary: Catalyst prunes columns a plan doesn't read, but it cannot
+    see inside an opaque mapInPandas — a consumer that drops ``features``
+    afterwards would still pay for computing them (the per-row RandomState
+    init dominates this stage's cost). Callers that only need metadata
+    must say so here, where the work happens."""
+
+    out_schema = (
+        MEDIA_META
+        if include_features
+        else StructType([f for f in MEDIA_META.fields if f.name != "features"])
+    )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if not len(pdf):
                 continue
             payloads = [bytes(p) if p is not None else b"" for p in pdf[payload_col]]
-            yield pd.DataFrame(
-                {
-                    "url": pdf["url"],
-                    "mime": [sniff_mime(p) for p in payloads],
-                    "n_bytes": [len(p) for p in payloads],
-                    "content_hash": [hashlib.md5(p).hexdigest() for p in payloads],
-                    "features": [fake_features(p) for p in payloads],
-                }
-            )
+            cols = {
+                "url": pdf["url"],
+                "mime": [sniff_mime(p) for p in payloads],
+                "n_bytes": [len(p) for p in payloads],
+                "content_hash": [hashlib.md5(p).hexdigest() for p in payloads],
+            }
+            if include_features:
+                cols["features"] = [fake_features(p) for p in payloads]
+            yield pd.DataFrame(cols)
 
-    return df.select("url", payload_col).mapInPandas(gen, schema=MEDIA_META)
+    return df.select("url", payload_col).mapInPandas(gen, schema=out_schema)
 
 
 FRAME_SAMPLE = StructType(

@@ -3093,7 +3093,7 @@ def pipeline_media_meta(spark, sf_dir):
         F.encode("text", "utf-8").alias("html"),
     )
     return (
-        media_metadata_stage(docs)
+        media_metadata_stage(docs, include_features=False)
         .select("url", "mime", "n_bytes", "content_hash")
         .orderBy("url")
     )
