@@ -499,8 +499,24 @@ def main() -> None:
     pairs = run_scaling(pages_path, n_pages, small, big)
 
     # full-machine headline: two interleaved invocations — a single one can
-    # land entirely inside a noisy window
-    fulls = [run_worker_subprocess(f"local[{CPUS}]", pages_path, task_cpus=2) for _ in range(2)]
+    # land entirely inside a noisy window. Each invocation runs MORE timed
+    # passes than the scaling pairs (~1.5 s each, so cheap): fresh-JVM walls
+    # decay ~2.3 → ~1.4 s over the first half-dozen passes as C2 compiles
+    # the scan/Arrow/write paths, and the metric's regime is steady-state
+    # throughput of long-lived executors (see worker() docstring) — min over
+    # few passes would report the JIT transient, not the capability.
+    # task_cpus=1: measured 1.42 vs 1.89 s against task_cpus=2 at local[32]
+    # (32 extraction processes now fit the VM's memory bandwidth).
+    full_passes = int(os.environ.get("BENCH_FULL_PASSES", "7"))
+    prev_passes = os.environ.get("BENCH_TIMED_PASSES")
+    os.environ["BENCH_TIMED_PASSES"] = str(full_passes)
+    try:
+        fulls = [run_worker_subprocess(f"local[{CPUS}]", pages_path) for _ in range(2)]
+    finally:
+        if prev_passes is None:
+            os.environ.pop("BENCH_TIMED_PASSES", None)
+        else:
+            os.environ["BENCH_TIMED_PASSES"] = prev_passes
     r_full = min(fulls, key=lambda r: r["wall_s"])
     thr_full = n_pages / r_full["wall_s"]
 

@@ -64,3 +64,45 @@ def test_normalize_idempotent(s):
     assert normalize_text(once) == once
     assert "  " not in once
     assert once == once.strip()
+
+
+def _block_key(blocks):
+    return [(b.tag, b.text, b.link_chars, b.total_chars, b.cells) for b in blocks]
+
+
+@given(html_fragments)
+@settings(max_examples=300, deadline=None)
+def test_inline_scanner_matches_dispatch_and_stdlib(frags):
+    """Three-rung differential ladder: the merged inline loop, the
+    event-dispatch twin, and the stdlib-HTMLParser drive must produce
+    identical blocks (the inline loop is the production hot path; any
+    optimization that drifts from the slower rungs fails here)."""
+    from docling_ibm_models_spark.functions.html_extract import (
+        _scan_blocks,
+        _scan_blocks_dispatch,
+    )
+
+    html = "".join(frags)
+    assert _block_key(_scan_blocks(html)) == _block_key(_scan_blocks_dispatch(html))
+
+
+@given(html_fragments)
+@settings(max_examples=150, deadline=None)
+def test_inline_scanner_raw_text_and_nesting(frags):
+    """Adversarial wrapper: bury the fragment inside dropped subtrees with
+    raw-text elements containing markup-like payloads — the drop-depth
+    bookkeeping of the inline loop must stay in lockstep with dispatch."""
+    from docling_ibm_models_spark.functions.html_extract import (
+        _scan_blocks,
+        _scan_blocks_dispatch,
+    )
+
+    body = "".join(frags)
+    html = (
+        "<nav><script>var x = '<div>not a tag</div>';</script></nav>"
+        f"<div class='content'><p>{body}</p>"
+        "<style>.x:before { content: '</p><p>'; }</style>"
+        f"<pre>  {body}  </pre></div>"
+        "<div class='sidebar'><textarea><p>ignored</p></textarea></div>"
+    )
+    assert _block_key(_scan_blocks(html)) == _block_key(_scan_blocks_dispatch(html))
