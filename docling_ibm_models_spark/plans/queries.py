@@ -5242,6 +5242,144 @@ def events_rolling_24h(spark, sf_dir):
     )
 
 
+@register(
+    "dedup_substring_windows",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
+      FROM documents
+    ),
+    wins AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(array_to_string(t[i + 1 : i + 8], ' ')), 1, 8))::BIGINT AS h
+      FROM (SELECT doc_id, t, unnest(range(0, len(t) - 7)) AS i FROM toks)
+    ),
+    stats AS (SELECT h, count(DISTINCT doc_id) AS ndocs FROM wins GROUP BY h)
+    SELECT w.doc_id AS doc_id,
+           count(*) AS n_windows,
+           sum((s.ndocs >= 2)::BIGINT)::BIGINT AS n_dup_windows,
+           round(sum((s.ndocs >= 2)::BIGINT) / count(*)::DOUBLE, 4) AS dup_frac
+    FROM wins w JOIN stats s USING (h)
+    GROUP BY w.doc_id ORDER BY doc_id
+    """,
+)
+def dedup_substring_windows(spark, sf_dir):
+    """Exact-substring duplication detector in the style of Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better"): every
+    k-token window (k=8 here; 50 at production) is hashed, windows whose
+    hash occurs in >=2 DISTINCT documents are duplicated substrings, and
+    each doc reports its duplicated-window fraction — the per-doc signal
+    the paper's ExactSubstr cut uses. The reference's single-node analogue
+    would be a suffix array; the distributed-standard formulation is this
+    windowed hash: one wide groupBy(h) with map-side combine builds the
+    window-frequency table (|windows| ~ |tokens|, the canonical shuffle),
+    one hash join back on h re-attaches frequencies (AQE reuses the
+    exchange — both sides are partitioned by h), one per-doc re-agg. No
+    pairwise comparisons anywhere, so 100x the corpus scales the shuffle
+    linearly. The window string itself never shuffles — only its 32-bit
+    hash + doc_id ride the exchange."""
+    k = 8
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != F.lit(""))
+    wins = (
+        docs.select("doc_id", toks.alias("t"))
+        .where(F.size("t") >= k)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size(t) - {k}), i -> "
+                    f"cast(conv(substr(md5(concat_ws(' ', slice(t, i + 1, {k}))), 1, 8), 16, 10) as bigint))"
+                )
+            ).alias("h"),
+        )
+    )
+    stats = wins.groupBy("h").agg(F.count_distinct("doc_id").alias("ndocs"))
+    return (
+        wins.join(stats, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum((F.col("ndocs") >= 2).cast("long")).alias("n_dup_windows"),
+        )
+        .select(
+            "doc_id",
+            "n_windows",
+            "n_dup_windows",
+            F.round(
+                F.col("n_dup_windows") / F.col("n_windows").cast("double"), 4
+            ).alias("dup_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "corpus_perplexity_filter",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, unnest(ws) AS word, generate_subscripts(ws, 1) AS ord
+      FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ws
+            FROM documents)
+    ),
+    dbi AS (
+      SELECT a.doc_id, a.word AS w1, b.word AS w2
+      FROM w a JOIN w b ON b.doc_id = a.doc_id AND b.ord = a.ord + 1
+    ),
+    bi AS (SELECT w1, w2, count(*)::DOUBLE AS c FROM dbi GROUP BY w1, w2),
+    uni AS (SELECT w1, sum(c) AS cw1 FROM bi GROUP BY w1)
+    SELECT d.doc_id AS doc_id, count(*) AS n_bigrams,
+           round(avg(-ln(bi.c / uni.cw1)), 4) AS bigram_nll,
+           (round(avg(-ln(bi.c / uni.cw1)), 4) > 3.45)::INT AS flagged
+    FROM dbi d JOIN bi USING (w1, w2) JOIN uni USING (w1)
+    GROUP BY d.doc_id ORDER BY doc_id
+    """,
+)
+def corpus_perplexity_filter(spark, sf_dir):
+    """LM-perplexity quality filter (CCNet's second stage, KenLM stand-in):
+    score every document by its mean bigram negative log-likelihood under
+    the corpus's own bigram model and flag high-perplexity docs. Composes
+    the corpus_bigram_lm construction with a score-and-flag pass: per-doc
+    bigrams come from the NARROW self-zip (no positional self-join on the
+    Spark side), the count tables are two map-side-combined groupBys, and
+    scoring is one equi-join back on (w1, w2) + a per-doc re-agg. The
+    bigram-count table is Zipf-concentrated, so at 10^12 docs its head
+    broadcasts and only the long tail rides the shuffle join; every
+    probability is seen>=1 by construction (scored corpus == training
+    corpus), so no smoothing constant has to match across engines."""
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), r"\s+")
+    dbi = docs.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice(words, 1, F.greatest(F.size(words) - 1, F.lit(0))).alias("w1"),
+                F.slice(words, 2, F.greatest(F.size(words) - 1, F.lit(0))).alias("w2"),
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    bi = dbi.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("double").alias("c"))
+    uni = bi.groupBy("w1").agg(F.sum("c").alias("cw1"))
+    nll = F.round(F.avg(-F.log(F.col("c") / F.col("cw1"))), 4)
+    return (
+        dbi.join(bi, ["w1", "w2"])
+        .join(uni, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            nll.alias("bigram_nll"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "bigram_nll",
+            (F.col("bigram_nll") > 3.45).cast("int").alias("flagged"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # ===========================================================================
 # Registry ordering — the driver's CORRECTNESS check windows the FIRST 50
 # entries of ``queries()``.  Round 3 proved the window is a hard cap: the 40
@@ -5256,7 +5394,7 @@ def events_rolling_24h(spark, sf_dir):
 _WINDOW_PRIORITY = [
     # -- the 40 with no round-3 driver row (source-registration order kept) --
     "spatial_iopdf_join", "iou_match_join", "band_orphan_join",
-    "col_median_snap", "window_top1_match", "dense_rank_compaction",
+    "window_top1_match", "dense_rank_compaction",
     "reading_order_assembly", "caption_link_adjacency", "extract_match",
     "pipeline_layout_clusters", "pipeline_doc_assembly",
     "pipeline_figure_classes", "pipeline_code_formula",
@@ -5274,13 +5412,13 @@ _WINDOW_PRIORITY = [
     "dedup_clusters", "dedup_minhash_verified", "tpch_q9_product_profit",
     "corpus_sequence_packing_stratified", "embedding_semdedup",
     "events_retention_cohorts", "events_funnel", "events_rolling_24h",
-    "corpus_incremental_dedup",
-    # -- headline representative of the r3-green blocks (the displaced
-    #    ones — events_sessionize, dedup_minhash_lsh, ann_cosine_topk,
-    #    corpus_curation, lang_id, dedup_exact — were driver-green in r3
-    #    and keep local oracles; incremental_dedup re-exercises the
-    #    dedup_exact hash/keep-min shape inside the window) --
-    "tpch_q1_pricing",
+    "corpus_incremental_dedup", "dedup_substring_windows",
+    "corpus_perplexity_filter",
+    # -- ceded slots: tpch_q1_pricing (r1-r3 green, representative only)
+    #    and col_median_snap (r2 green + direct parity vs the reference
+    #    post_processor) made room for the two new never-checked queries;
+    #    every name here either has no driver row in any round or is the
+    #    r2-only §2 operator surface the round-3 verdict asked to verify --
 ]
 
 
