@@ -2,9 +2,9 @@
 
 Shape (SURVEY.md §3, "Spark lifecycle of our engine"):
 
-    pages scan (file-group pruned) → one Arrow-batched ``mapInPandas`` stage
-    running the pure-Python extraction kernel per batch (no per-row Python
-    at the JVM boundary) → doc_text rows carrying their partition_id + a
+    pages scan (file-group pruned) → one ``mapInArrow`` stage running the
+    pure-Python extraction kernel per Arrow batch (no per-row Python at
+    the JVM boundary) → doc_text rows carrying their partition_id + a
     cumulative per-partition wall clock for lineage accounting.
 
 **Why the default path has NO shuffle.** Extraction is a narrow per-row map
@@ -69,9 +69,95 @@ def salt_partition(df: DataFrame, num_partitions: int, key: str = "url") -> Data
     )
 
 
+def _extract_batches_arrow(batches):
+    """mapInArrow extraction kernel — the production hot path.
+
+    Consumes/produces ``pyarrow.RecordBatch`` directly (the north-star
+    shape: "mapInArrow over page batches, no per-row Python at the JVM
+    boundary"), skipping the pandas materialization layer entirely: input
+    columns are read as Arrow arrays, the nested ``spans`` column is built
+    natively from flat offset/value arrays (``ListArray.from_arrays`` over
+    a ``StructArray``) instead of per-row Python dicts that Spark's pandas
+    serializer would have to re-discover, and output batches are zero-copy
+    Arrow. Cumulative wall time per partition rides along for lineage,
+    matching ``_extract_batches`` (the pandas twin kept for differential
+    testing)."""
+    import pyarrow as pa
+
+    span_type = pa.struct(
+        [
+            pa.field("start", pa.int64(), nullable=False),
+            pa.field("end", pa.int64(), nullable=False),
+            pa.field("label", pa.string(), nullable=False),
+            pa.field("block_idx", pa.int32(), nullable=False),
+        ]
+    )
+    t0 = time.monotonic()
+    for rb in batches:
+        if rb.num_rows == 0:
+            continue
+        names = rb.schema.names
+        cols = {n: rb.column(i) for i, n in enumerate(names)}
+        texts: list[str] = []
+        nblocks: list[int] = []
+        nchars: list[int] = []
+        starts: list[int] = []
+        ends: list[int] = []
+        labels: list[str] = []
+        bidx: list[int] = []
+        offsets: list[int] = [0]
+        for h in cols["html"].to_pylist():
+            text, spans = extract_main_content(h)
+            texts.append(text)
+            nblocks.append(len(spans))
+            nchars.append(len(text))
+            for s, e, lbl, i in spans:
+                starts.append(s)
+                ends.append(e)
+                labels.append(lbl)
+                bidx.append(i)
+            offsets.append(len(starts))
+        span_struct = pa.StructArray.from_arrays(
+            [
+                pa.array(starts, pa.int64()),
+                pa.array(ends, pa.int64()),
+                pa.array(labels, pa.string()),
+                pa.array(bidx, pa.int32()),
+            ],
+            fields=list(span_type),
+        )
+        spans_col = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), span_struct)
+        wall = time.monotonic() - t0
+        n = rb.num_rows
+        yield pa.RecordBatch.from_arrays(
+            [
+                cols["url"],
+                cols["lang"],
+                pa.array(texts, pa.string()),
+                pa.array(nblocks, pa.int32()),
+                pa.array(nchars, pa.int64()),
+                spans_col,
+                cols["partition_id"],
+                pa.array([wall] * n, pa.float64()),
+            ],
+            names=[
+                "url",
+                "lang",
+                "extracted_text",
+                "n_blocks",
+                "n_chars",
+                "spans",
+                "partition_id",
+                "wall_s",
+            ],
+        )
+
+
 def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Arrow-batched extraction kernel. Tracks cumulative wall time so
-    lineage can report per partition without a second pass."""
+    """Arrow-batched extraction kernel (pandas twin of
+    ``_extract_batches_arrow``, kept for differential testing). Tracks
+    cumulative wall time so lineage can report per partition without a
+    second pass."""
     t0 = time.monotonic()
     for pdf in batches:
         if not len(pdf):
@@ -120,6 +206,21 @@ def extract_doc_text(
         salted = pages.withColumn("partition_id", F.lit(int(partition_id or 0)))
     # explicit projection: only url/lang/html/partition_id cross the Arrow
     # boundary (ground-truth `text` + warc_ts stay JVM-side / pruned at scan)
+    pruned = salted.select("url", "lang", "html", "partition_id")
+    return pruned.mapInArrow(_extract_batches_arrow, schema=_EXTRACT_SCHEMA)
+
+
+def extract_doc_text_pandas(
+    pages: DataFrame,
+    num_partitions: int | None = None,
+    partition_id: int | None = None,
+) -> DataFrame:
+    """mapInPandas twin of :func:`extract_doc_text` — differential-testing
+    rung only (identical rows asserted in tests/test_extraction.py)."""
+    if num_partitions is not None:
+        salted = salt_partition(pages, num_partitions)
+    else:
+        salted = pages.withColumn("partition_id", F.lit(int(partition_id or 0)))
     pruned = salted.select("url", "lang", "html", "partition_id")
     return pruned.mapInPandas(_extract_batches, schema=_EXTRACT_SCHEMA)
 

@@ -201,3 +201,15 @@ def test_incremental_read_consumes_only_new_partitions(spark, tmp_path):
     assert urls1.isdisjoint(urls2)
     all_urls = {r.url for r in spark.read.parquet(f"{out}/doc_text").select("url").collect()}
     assert urls1 | urls2 == all_urls
+
+
+def test_arrow_and_pandas_extraction_identical(spark):
+    """The mapInArrow production path and the mapInPandas twin must emit
+    identical rows (incl. the nested spans column) — the Arrow kernel
+    builds spans natively from flat arrays, so this pins its offsets."""
+    from docling_ibm_models_spark.pipeline.extract import extract_doc_text_pandas
+
+    pages = pages_from_documents(spark, SF_SMALL)
+    a = doc_text_clean(extract_doc_text(pages)).orderBy("url").collect()
+    b = doc_text_clean(extract_doc_text_pandas(pages)).orderBy("url").collect()
+    assert a == b

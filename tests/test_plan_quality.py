@@ -64,7 +64,7 @@ def test_relational_queries_stay_jvm_side(spark):
 
 def test_extraction_path_is_shuffle_free(spark, tmp_path):
     """The default extraction plan must contain NO Exchange: scan →
-    project → mapInPandas → (sink). A pages table read from parquet is the
+    project → mapInArrow → (sink). A pages table read from parquet is the
     production shape (pages_from_documents inserts a repartition by design,
     so materialize first)."""
     from docling_ibm_models_spark.sources.pages_source import pages_from_documents
@@ -74,7 +74,8 @@ def test_extraction_path_is_shuffle_free(spark, tmp_path):
     out = extract_doc_text(spark.read.parquet(path))
     plan = plan_of(out)
     assert "Exchange" not in plan, "extraction plan gained a shuffle"
-    assert "mapInPandas" in plan or "MapInPandas" in plan
+    # production kernel is the mapInArrow stage (north-star shape)
+    assert "MapInArrow" in plan
 
 
 def test_minhash_band_join_is_hash_join(spark):
