@@ -245,6 +245,21 @@ _DECL_RE = re.compile(
 )
 _TAG_RE = re.compile(r"<(/?)([a-zA-Z][a-zA-Z0-9:-]*)((?:\"[^\"]*\"|'[^']*'|[^>\"'])*)>")
 
+# Single-search tokenizer for the inline loop: ONE C-level ``search`` per
+# token replaces the find('<') + next-char peek + per-family ``match`` of
+# the previous shape (~3 Python→C transitions per tag → 1). Alternative
+# order mirrors _TOKEN_RE (comment before the generic <!...> declaration);
+# the trailing EMPTY alternative matches a bare '<' whose tag/declaration
+# parses all fail, so the stray-'<'-is-text rule keeps exact segmentation
+# parity with _scan_events (a stray '<' still splits text nodes, which
+# matters for the pure-whitespace-collapse rule). The literal '<' prefix
+# keeps the scan memchr-driven between tokens.
+_MASTER_RE = re.compile(
+    r"<(?:(/?)([a-zA-Z][a-zA-Z0-9:-]*)((?:\"[^\"]*\"|'[^']*'|[^>\"'])*)>"
+    r"|!--.*?-->|!\[CDATA\[.*?\]\]>|![^>]*>|\?[^>]*>|)",
+    re.DOTALL,
+)
+
 # elements whose content is raw text (no nested tags)
 _RAW_TEXT = {"script", "style", "textarea", "title", "noscript", "template"}
 
@@ -319,15 +334,15 @@ def _scan_blocks(html: str) -> list[Block]:
     cell_parts: list[str] | None = None
     has_amp = "&" in html
     find = html.find
-    tag_match = _TAG_RE.match
-    decl_match = _DECL_RE.match
+    search = _MASTER_RE.search
     pos = 0
     n = len(html)
     while pos < n:
-        lt = find("<", pos)
-        if lt != pos:
+        m = search(html, pos)
+        tok_start = m.start() if m is not None else n
+        if tok_start > pos:
             # ---- text node (inline handle_data) ----
-            seg = html[pos:] if lt < 0 else html[pos:lt]
+            seg = html[pos:tok_start]
             if not drop:
                 if has_amp and "&" in seg:
                     seg = _unescape(seg)
@@ -355,20 +370,15 @@ def _scan_blocks(html: str) -> list[Block]:
                     cur_total += ns
                     if anchor:
                         cur_link += ns
-            if lt < 0:
+            if m is None:
                 break
-            pos = lt
-        nxt = html[pos + 1] if pos + 1 < n else ""
-        if nxt == "!" or nxt == "?":
-            m = decl_match(html, pos)
-            if m is not None:
-                pos = m.end()
-                continue  # comment / cdata / doctype / PI
-        else:
-            m = tag_match(html, pos)
-        if m is None:
-            # stray '<' — treat as text (1 content char)
-            if not drop:
+        pos = m.end()
+        closing, tag, blob = m.group(1, 2, 3)
+        if tag is None:
+            # empty alternative (length-1 token) = stray '<' — treat as
+            # text (1 content char); longer tokens are comment/cdata/
+            # doctype/PI declarations, which emit nothing
+            if pos - tok_start == 1 and not drop:
                 if cell_parts is not None:
                     cell_parts.append("<")
                     if row is not None:
@@ -382,10 +392,7 @@ def _scan_blocks(html: str) -> list[Block]:
                     cur_total += 1
                     if anchor:
                         cur_link += 1
-            pos += 1
             continue
-        pos = m.end()
-        closing, tag, blob = m.group(1, 2, 3)
         tag = tag.lower()
         if closing:
             # ---- end tag (inline handle_endtag) ----
