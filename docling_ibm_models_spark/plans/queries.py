@@ -5380,6 +5380,330 @@ def corpus_perplexity_filter(spark, sf_dir):
     )
 
 
+@register(
+    "corpus_line_dedup",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, unnest(ws) AS word, generate_subscripts(ws, 1) AS ord
+      FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ws
+            FROM documents)
+    ),
+    ln AS (
+      SELECT doc_id, (ord - 1) // 10 AS line_idx,
+             string_agg(word, ' ' ORDER BY ord) AS line
+      FROM w GROUP BY doc_id, (ord - 1) // 10
+    ),
+    hashed AS (
+      SELECT doc_id, line_idx, line,
+             ('0x' || substr(md5(line), 1, 8))::BIGINT AS h
+      FROM ln
+    ),
+    keep AS (
+      SELECT h, min(doc_id * 1000000 + line_idx) AS keep_pos
+      FROM hashed GROUP BY h
+    )
+    SELECT hashed.doc_id AS doc_id,
+           count(*) AS n_lines,
+           count(*) FILTER (
+             WHERE hashed.doc_id * 1000000 + hashed.line_idx = k.keep_pos
+           ) AS n_kept,
+           coalesce(string_agg(hashed.line, ' ' ORDER BY hashed.line_idx)
+             FILTER (WHERE hashed.doc_id * 1000000 + hashed.line_idx
+                           = k.keep_pos), '') AS clean_text
+    FROM hashed JOIN keep k USING (h)
+    GROUP BY hashed.doc_id
+    ORDER BY doc_id
+    """,
+)
+def corpus_line_dedup(spark, sf_dir):
+    """C4-style corpus-wide line deduplication that MUTATES the corpus:
+    split each doc into consecutive 10-word lines (ragged tail kept — it
+    is still text), hash each line, keep only the globally FIRST
+    occurrence (min (doc_id, line_idx)) of every distinct line, and
+    reassemble each doc's surviving lines into ``clean_text``. This is
+    the step C4 (Raffel et al. 2020, §2.2 "we discard all but one of any
+    three-sentence span occurring more than once") applies to Common
+    Crawl; `corpus_chunk_dedup` only *scores* duplication — this one
+    rewrites the documents.
+
+    Scale shape: the first-occurrence winner is a ``min(struct(doc_id,
+    line_idx))`` groupBy on the 32-bit line hash — map-side combinable,
+    so a boilerplate line repeated 10^9 times collapses to one row per
+    map task BEFORE the shuffle (a row_number window over h would instead
+    sort the full hot partition). The re-join on h is skew-safe under AQE
+    because the aggregated side carries exactly one row per key; the
+    reassembly re-groups on doc_id (well distributed). 2 keyed shuffles
+    total at 10^12 docs, no self-join, no window sort.
+    [ref: C4 dedup rule, public literature; reference engine has no
+    corpus ops — engine addition per the graft brief]"""
+    d = _t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), r"\s+")
+    nln = F.ceil(F.size(words) / F.lit(10)).cast("int")
+    idxs = F.when(nln >= 1, F.sequence(F.lit(0), nln - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    lines = F.transform(
+        idxs, lambda i: F.array_join(F.slice(words, i * 10 + 1, 10), " ")
+    )
+    hashed = d.select(
+        "doc_id", F.posexplode(lines).alias("line_idx", "line")
+    ).withColumn("h", _h32_spark(F.col("line")))
+    # first occurrence per distinct line: map-side-combinable min-struct agg
+    keep = hashed.groupBy("h").agg(
+        F.min(F.struct("doc_id", "line_idx")).alias("keep_pos")
+    )
+    joined = hashed.join(keep, "h").withColumn(
+        "is_kept",
+        (F.col("doc_id") == F.col("keep_pos.doc_id"))
+        & (F.col("line_idx") == F.col("keep_pos.line_idx")),
+    )
+    kept_line = F.when(F.col("is_kept"), F.col("line"))
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.count(kept_line).alias("n_kept"),
+            F.coalesce(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(
+                                    F.col("is_kept"),
+                                    F.struct("line_idx", "line"),
+                                )
+                            )
+                        ),
+                        lambda s: s["line"],
+                    ),
+                    " ",
+                ),
+                F.lit(""),
+            ).alias("clean_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_GOPHER_STOPWORDS = ["the", "a", "of", "and", "to", "in"]
+
+
+@register(
+    "corpus_gopher_rules",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, unnest(ws) AS word
+      FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ws
+            FROM documents)
+    ),
+    per AS (
+      SELECT doc_id,
+             count(*) AS n_words,
+             round(avg(length(word)), 4) AS mean_word_len,
+             round(count(*) FILTER (WHERE regexp_matches(word, '[A-Za-z]'))
+                   / count(*)::DOUBLE, 4) AS alpha_frac,
+             count(DISTINCT word) FILTER (
+               WHERE word IN ('the', 'a', 'of', 'and', 'to', 'in')
+             ) AS n_stopwords,
+             round(count(*) FILTER (WHERE regexp_matches(word, '[#…]'))
+                   / count(*)::DOUBLE, 4) AS symbol_frac
+      FROM w GROUP BY doc_id
+    )
+    SELECT doc_id, n_words, mean_word_len, alpha_frac, n_stopwords,
+           symbol_frac,
+           (n_words >= 50 AND n_words <= 100000
+            AND mean_word_len >= 3 AND mean_word_len <= 10
+            AND alpha_frac >= 0.8 AND n_stopwords >= 2
+            AND symbol_frac <= 0.1)::INT AS gopher_pass
+    FROM per ORDER BY doc_id
+    """,
+)
+def corpus_gopher_rules(spark, sf_dir):
+    """Gopher document-quality rules (Rae et al. 2021, Table A1): word
+    count in [50, 100k], mean word length in [3, 10], >=80% of words
+    contain an alphabetic character, >=2 distinct stopwords present, and
+    symbol-to-word ratio (#/ellipsis) <= 0.1 — the heuristic prefilter
+    MassiveText applies before dedup. Every signal is a narrow codegen
+    expression over the split-word array (``aggregate`` for the length
+    sum, ``filter``+``size`` for the ratios, ``array_intersect`` against
+    a literal stopword array for the distinct-stopword count) — ZERO
+    shuffles except the final presentation sort; at 10^12 docs this is a
+    pure scan-side map, the cheapest possible quality pass.
+    [ref: Gopher/MassiveText quality rules, public literature; engine
+    addition per the graft brief]"""
+    d = _t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), r"\s+")
+    n_words = F.size(words)
+    len_sum = F.aggregate(
+        words, F.lit(0), lambda acc, w: acc + F.length(w)
+    ).cast("double")
+    mean_len = F.round(len_sum / n_words, 4)
+    alpha_frac = F.round(
+        F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+        / n_words.cast("double"),
+        4,
+    )
+    n_stop = F.size(
+        F.array_intersect(
+            words, F.array(*[F.lit(s) for s in _GOPHER_STOPWORDS])
+        )
+    )
+    sym_frac = F.round(
+        F.size(F.filter(words, lambda w: w.rlike("[#…]")))
+        / n_words.cast("double"),
+        4,
+    )
+    out = d.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        alpha_frac.alias("alpha_frac"),
+        n_stop.cast("long").alias("n_stopwords"),
+        sym_frac.alias("symbol_frac"),
+    )
+    passed = (
+        (F.col("n_words") >= 50)
+        & (F.col("n_words") <= 100000)
+        & (F.col("mean_word_len") >= 3)
+        & (F.col("mean_word_len") <= 10)
+        & (F.col("alpha_frac") >= 0.8)
+        & (F.col("n_stopwords") >= 2)
+        & (F.col("symbol_frac") <= 0.1)
+    )
+    return out.withColumn("gopher_pass", passed.cast("int")).orderBy("doc_id")
+
+
+@register(
+    "corpus_url_canonicalize",
+    oracle="""
+    WITH raw AS (
+      SELECT doc_id,
+             ('0x' || substr(md5('canon|' || doc_id), 1, 8))::BIGINT AS v
+      FROM documents
+    ),
+    built AS (
+      SELECT doc_id,
+             (CASE v % 3 WHEN 0 THEN 'https' WHEN 1 THEN 'HTTPS'
+                         ELSE 'https' END)
+             || '://'
+             || (CASE v % 3 WHEN 0 THEN 'www.site' WHEN 1 THEN 'WWW.SITE'
+                            ELSE 'www.Site' END)
+             || (v % 20)::VARCHAR
+             || (CASE v % 3 WHEN 0 THEN '.com' WHEN 1 THEN '.COM'
+                            ELSE '.Com' END)
+             || (CASE WHEN v % 4 = 0 THEN ':443' ELSE '' END)
+             || '/p/' || (doc_id % 100)::VARCHAR
+             || (CASE WHEN v % 5 = 0 THEN '/index.html' ELSE '' END)
+             || (CASE v % 3
+                   WHEN 1 THEN '?utm_source=feed&id=' || (doc_id % 100)::VARCHAR
+                   WHEN 2 THEN '?id=' || (doc_id % 100)::VARCHAR || '&utm_campaign=x'
+                   ELSE '' END)
+             || (CASE WHEN v % 2 = 1 THEN '#sec' ELSE '' END) AS url
+      FROM raw
+    ),
+    split_url AS (
+      SELECT doc_id, url,
+             regexp_extract(url, '^[A-Za-z]+://[^/?#]+') AS auth,
+             substring(url, length(regexp_extract(url, '^[A-Za-z]+://[^/?#]+')) + 1)
+               AS rest
+      FROM built
+    ),
+    canon AS (
+      SELECT doc_id, url,
+             regexp_replace(lower(auth), ':443$', '')
+             || regexp_replace(
+                  regexp_replace(
+                    regexp_replace(
+                      regexp_replace(
+                        regexp_replace(rest, '#.*$', ''),
+                        'utm_[a-z]+=[^&]*&', ''),
+                      '[?&]utm_[a-z]+=[^&]*$', ''),
+                    '/index\\.html\\?', '?'),
+                  '/index\\.html$', '') AS canon_url
+      FROM split_url
+    )
+    SELECT doc_id, url, canon_url,
+           count(*) OVER (PARTITION BY canon_url) AS n_aliases
+    FROM canon ORDER BY doc_id
+    """,
+)
+def corpus_url_canonicalize(spark, sf_dir):
+    """URL canonicalization — the step every Common-Crawl pipeline runs
+    before URL-level dedup: lowercase scheme+authority, strip the default
+    :443 port, drop the fragment, remove utm_* tracking params (repairing
+    the separator), and strip a trailing /index.html; then count how many
+    raw urls collapse onto each canonical form (``n_aliases`` > 1 = the
+    URL-dedup candidates). Messy urls are synthesized deterministically
+    from doc_id with the identical formula in both dialects (case/port/
+    utm/fragment variants driven by a 32-bit hash), since the documents
+    table carries no url column. The whole rewrite chain is JVM codegen
+    ``regexp_replace`` in the RE2∩Java subset (no lookarounds — the
+    /index.html-before-query case is handled by a separate pattern pair
+    instead of a lookahead); the only shuffle is the window count on the
+    canonical url, which IS the operator's point (aliases meet). At 10^12
+    rows: 1 keyed shuffle, well-distributed (canonical urls are near-
+    unique; a pathological mega-alias key would be AQE-salted).
+    [ref: URL normalization for crawl dedup, public literature; engine
+    addition per the graft brief]"""
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    v = _h32_spark(did, seed="canon|")
+    k3 = v % 3
+    scheme = (
+        F.when(k3 == 0, "https").when(k3 == 1, "HTTPS").otherwise("https")
+    )
+    host = F.concat(
+        F.when(k3 == 0, "www.site").when(k3 == 1, "WWW.SITE").otherwise("www.Site"),
+        (v % 20).cast("string"),
+        F.when(k3 == 0, ".com").when(k3 == 1, ".COM").otherwise(".Com"),
+    )
+    port = F.when(v % 4 == 0, ":443").otherwise("")
+    pid = (F.col("doc_id") % 100).cast("string")
+    path = F.concat(
+        F.lit("/p/"), pid, F.when(v % 5 == 0, "/index.html").otherwise("")
+    )
+    query = (
+        F.when(k3 == 1, F.concat(F.lit("?utm_source=feed&id="), pid))
+        .when(k3 == 2, F.concat(F.lit("?id="), pid, F.lit("&utm_campaign=x")))
+        .otherwise("")
+    )
+    frag = F.when(v % 2 == 1, "#sec").otherwise("")
+    url = F.concat(scheme, F.lit("://"), host, port, path, query, frag)
+    built = d.select("doc_id", url.alias("url"))
+    auth = F.regexp_extract(F.col("url"), r"^[A-Za-z]+://[^/?#]+", 0)
+    rest = F.expr("substring(url, length(regexp_extract(url, '^[A-Za-z]+://[^/?#]+', 0)) + 1)")
+    canon = F.concat(
+        F.regexp_replace(F.lower(auth), r":443$", ""),
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(
+                        F.regexp_replace(rest, r"#.*$", ""),
+                        r"utm_[a-z]+=[^&]*&",
+                        "",
+                    ),
+                    r"[?&]utm_[a-z]+=[^&]*$",
+                    "",
+                ),
+                r"/index\.html\?",
+                "?",
+            ),
+            r"/index\.html$",
+            "",
+        ),
+    )
+    from pyspark.sql import Window
+
+    return (
+        built.withColumn("canon_url", canon)
+        .withColumn(
+            "n_aliases",
+            F.count(F.lit(1)).over(Window.partitionBy("canon_url")),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # ===========================================================================
 # Registry ordering — the driver's CORRECTNESS check windows the FIRST 50
 # entries of ``queries()``.  Round 3 proved the window is a hard cap: the 40
