@@ -6,7 +6,17 @@ at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS], plus per-query wall times and the BASELINE.md
 two-parallelism scaling evidence (same job at local[N] and local[4N]).
 
-Scaling protocol (round 3, per VERDICT.md round-2 item 1):
+Scaling protocol (v3, round 4):
+  * Each side runs CORE-CONFINED: ``taskset -c 0-(N-1)`` around the whole
+    worker process tree (JVM scan/write threads, python workers, GC) — the
+    local analog of a fixed-size executor's cgroup. Unconfined local[N] on
+    a 32-core box lets helper threads spill onto idle cores, which
+    measured as a meaningless superlinear 1.017 "efficiency" at r64.
+  * The timed workload is 320k pages (BENCH_PAGE_REPLICAS=64): the ~0.8 s
+    fixed per-pass cost (scan planning, commit, driver coordination)
+    is <3% of the big side instead of ~25% at 80k, matching the metric's
+    regime (10^12-doc jobs, where fixed costs vanish). Measured confined
+    r64 pair: eff 0.954.
   * >=3 INTERLEAVED pass-pairs: each pair runs one small-parallelism
     invocation immediately followed by one big-parallelism invocation, so
     a noisy-VM window hits both sides of a pair, not one side of the ratio.
@@ -52,7 +62,7 @@ import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-REPLICAS = int(os.environ.get("BENCH_PAGE_REPLICAS", "16"))
+REPLICAS = int(os.environ.get("BENCH_PAGE_REPLICAS", "64"))
 STEAL_MAX = float(os.environ.get("BENCH_STEAL_MAX", "0.03"))
 MIN_CLEAN_PAIRS = int(os.environ.get("BENCH_MIN_CLEAN_PAIRS", "3"))
 MAX_PAIRS = int(os.environ.get("BENCH_MAX_PAIRS", "6"))
@@ -274,10 +284,31 @@ def run_skew_probe() -> dict:
     return res
 
 
-def run_worker_subprocess(master: str, pages_path: str, task_cpus: int = 1) -> dict:
+def _pin_prefix(cores: int | None) -> list[str]:
+    """taskset prefix confining the whole worker tree (JVM scan/write
+    threads, python workers, GC) to ``cores`` physical cores — the local
+    analog of a fixed-size executor's cgroup. Without confinement local[N]
+    is NOT an N-core measurement on a 32-core box: helper threads spill
+    onto idle cores and flatter whichever side has more headroom (measured
+    r64: unconfined pair eff 1.017 — superlinear, i.e. meaningless;
+    confined 0.954). Affinity is inherited by the JVM and its python
+    worker children."""
+    import shutil
+
+    if not cores or cores >= (os.cpu_count() or 1):
+        return []
+    if not shutil.which("taskset"):
+        return []
+    return ["taskset", "-c", f"0-{cores - 1}"]
+
+
+def run_worker_subprocess(
+    master: str, pages_path: str, task_cpus: int = 1, pin_cores: int | None = None
+) -> dict:
     with tempfile.TemporaryDirectory() as td:
         res = subprocess.run(
-            [sys.executable, __file__, "--worker", master, pages_path, f"{td}/out", str(task_cpus)],
+            _pin_prefix(pin_cores)
+            + [sys.executable, __file__, "--worker", master, pages_path, f"{td}/out", str(task_cpus)],
             capture_output=True,
             text=True,
             timeout=1800,
@@ -297,11 +328,11 @@ def run_scaling_pair(pages_path: str, n_pages: int, small: int, big: int,
         # overlaps one temporal half of every pair would otherwise bias one
         # side systematically
         if k % 2 == 0:
-            r_s = run_worker_subprocess(f"local[{small}]", pages_path)
-            r_b = run_worker_subprocess(f"local[{big}]", pages_path)
+            r_s = run_worker_subprocess(f"local[{small}]", pages_path, pin_cores=small)
+            r_b = run_worker_subprocess(f"local[{big}]", pages_path, pin_cores=big)
         else:
-            r_b = run_worker_subprocess(f"local[{big}]", pages_path)
-            r_s = run_worker_subprocess(f"local[{small}]", pages_path)
+            r_b = run_worker_subprocess(f"local[{big}]", pages_path, pin_cores=big)
+            r_s = run_worker_subprocess(f"local[{small}]", pages_path, pin_cores=small)
     finally:
         if env_passes is None:
             os.environ.pop("BENCH_TIMED_PASSES", None)
@@ -369,14 +400,23 @@ PROBE_RATIO_MAX = float(os.environ.get("BENCH_PROBE_RATIO_MAX", "1.6"))
 
 def apply_probe_criterion(pairs: list[dict]) -> None:
     """Mark pairs contended when either bracketing probe ran
-    > PROBE_RATIO_MAX × the best probe seen across the whole run. The
-    reference point is global (not per-phase) so a fully-contended run
-    degrades honestly to the all-pairs median instead of self-certifying."""
-    ref = min(min(p["probe_s"]) for p in pairs if "probe_s" in p)
-    for p in pairs:
-        if "probe_s" in p:
-            p["probe_contended"] = max(p["probe_s"]) > PROBE_RATIO_MAX * ref
-            p["clean"] = p["clean"] and not p["probe_contended"]
+    > PROBE_RATIO_MAX × the best probe seen across the whole run ON THE
+    SAME SIDE. Per-side references matter under core confinement: the
+    probe's 8 streams run inside the worker's taskset, so the small side's
+    probe is structurally ~4× the big side's — comparing each side to its
+    own session best keeps the criterion a contention detector rather than
+    a confinement detector. The reference stays session-global (not
+    per-phase) so a fully-contended run degrades honestly to the
+    all-pairs median instead of self-certifying."""
+    have = [p for p in pairs if "probe_s" in p]
+    if not have:
+        return
+    ref = [min(p["probe_s"][i] for p in have) for i in (0, 1)]
+    for p in have:
+        p["probe_contended"] = any(
+            p["probe_s"][i] > PROBE_RATIO_MAX * ref[i] for i in (0, 1)
+        )
+        p["clean"] = p["clean"] and not p["probe_contended"]
 
 
 def capability_efficiency(pairs: list[dict], small: int, big: int) -> dict:
@@ -489,10 +529,10 @@ def main() -> None:
 
     pages_path, n_pages = materialize_pages()
 
-    # Scaling pair: N=2 vs 4N=8 cores — both far below this VM's
-    # memory-bandwidth ceiling (~25-30k pages/s, hit around 16 procs), which
-    # is the honest local analog of N vs 4N executor *clusters* (each far
-    # from its own node-local ceilings). Headline run uses the full machine.
+    # Scaling pair: N=2 vs 4N=8 cores, each side taskset-confined to
+    # exactly its core budget (see _pin_prefix) — the honest local analog
+    # of N vs 4N fixed-size executor *clusters*, both far below this VM's
+    # memory-bandwidth ceiling. Headline run uses the full machine.
     small = max(1, CPUS // 16)
     big = max(2, CPUS // 4)
     # Phase A: interleaved pairs now
@@ -500,13 +540,14 @@ def main() -> None:
 
     # full-machine headline: two interleaved invocations — a single one can
     # land entirely inside a noisy window. Each invocation runs MORE timed
-    # passes than the scaling pairs (~1.5 s each, so cheap): fresh-JVM walls
-    # decay ~2.3 → ~1.4 s over the first half-dozen passes as C2 compiles
-    # the scan/Arrow/write paths, and the metric's regime is steady-state
+    # passes than the scaling pairs (~5 s each at 320k pages): fresh-JVM
+    # walls decay over the first half-dozen passes as C2 compiles the
+    # scan/Arrow/write paths, and the metric's regime is steady-state
     # throughput of long-lived executors (see worker() docstring) — min over
     # few passes would report the JIT transient, not the capability.
     # task_cpus=1: measured 1.42 vs 1.89 s against task_cpus=2 at local[32]
     # (32 extraction processes now fit the VM's memory bandwidth).
+    # Unpinned: local[32] IS the whole machine.
     full_passes = int(os.environ.get("BENCH_FULL_PASSES", "7"))
     prev_passes = os.environ.get("BENCH_TIMED_PASSES")
     os.environ["BENCH_TIMED_PASSES"] = str(full_passes)
