@@ -299,3 +299,26 @@ def test_materialized_results_are_distributed_scans(spark):
         assert out.count() > 0, name
         new = {int(k) for k in jsc.getPersistentRDDs().keySet().toArray()} - pre
         assert not new, f"{name}: cached RDDs {new} linger after the query"
+
+
+def test_line_dedup_uses_agg_not_window(spark):
+    """corpus_line_dedup's first-occurrence winner must be the map-side-
+    combinable min-struct AGGREGATE on the line hash, never a row_number
+    window (a window sorts the full hot-key partition — a boilerplate
+    line repeated 10^9 times would serialize on one reducer). Also pins:
+    no Python nodes, no cartesian."""
+    plan = plan_of(QUERIES["corpus_line_dedup"](spark, SF_MED))
+    assert "Window" not in plan, "line dedup regressed to a window sort"
+    assert "HashAggregate" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_gopher_rules_is_pure_scan(spark):
+    """corpus_gopher_rules is a zero-shuffle codegen scan: the only
+    Exchange allowed is the presentation sort's range partitioning."""
+    plan = plan_of(QUERIES["corpus_gopher_rules"](spark, SF_MED))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    exchanges = re.findall(r"Exchange (\w+)", plan)
+    assert all(e == "rangepartitioning" for e in exchanges), exchanges
+    assert "Join" not in plan and "Window" not in plan
