@@ -339,7 +339,10 @@ def _scan_blocks(html: str) -> list[Block]:
     n = len(html)
     while pos < n:
         m = search(html, pos)
-        tok_start = m.start() if m is not None else n
+        if m is None:
+            tok_start = tok_end = n
+        else:
+            tok_start, tok_end = m.span()
         if tok_start > pos:
             # ---- text node (inline handle_data) ----
             seg = html[pos:tok_start]
@@ -372,7 +375,7 @@ def _scan_blocks(html: str) -> list[Block]:
                         cur_link += ns
             if m is None:
                 break
-        pos = m.end()
+        pos = tok_end
         closing, tag, blob = m.group(1, 2, 3)
         if tag is None:
             # empty alternative (length-1 token) = stray '<' — treat as
@@ -420,7 +423,7 @@ def _scan_blocks(html: str) -> list[Block]:
                 cur_total = 0
                 cur_link = 0
             continue
-        if blob.rstrip().endswith("/"):
+        if blob and (blob[-1] == "/" or (blob[-1].isspace() and blob.rstrip().endswith("/"))):
             # ---- self-closing tag: whitespace only (handle_startendtag) ----
             if not drop:
                 if cell_parts is not None:
