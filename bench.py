@@ -131,31 +131,54 @@ def _spark(master: str, shuffle: int):
     return get_spark(app_name=f"bench-{master}", master=master, shuffle_partitions=shuffle)
 
 
-def materialize_pages() -> tuple[str, int]:
+def materialize_pages(replicas: int = REPLICAS, files: int | None = None) -> tuple[str, int]:
     """Producer job: documents.parquet → pages parquet (not timed, cached
-    under /tmp keyed by (sf_dir, replicas, generator hash) — stabilizes
-    inter-round comparability: same parquet files, same scan layout)."""
+    under /tmp keyed by (sf_dir, replicas, files, generator hash) —
+    stabilizes inter-round comparability: same parquet files, same scan
+    layout)."""
     spark = _spark(f"local[{CPUS}]", CPUS)
     from docling_ibm_models_spark.sources.pages_source import cached_pages_path
 
-    pages_path = cached_pages_path(spark, SF_DIR, replicas=REPLICAS)
+    pages_path = cached_pages_path(spark, SF_DIR, replicas=replicas, files=files)
     n = spark.read.parquet(pages_path).count()
     spark.stop()
     return pages_path, n
+
+
+def _ensure_pyfiles_zip() -> str:
+    """Build (idempotent, deterministic) the --py-files archive for
+    local-cluster runs: executor JVMs are separate processes whose python
+    workers must import the package from the shipped zip, exactly like a
+    real cluster submission."""
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
+    from package_pyfiles import build
+
+    return build(os.path.join(tempfile.gettempdir(), "bench_pyfiles", "docling_ibm_models_spark.zip"))
 
 
 def worker(master: str, pages_path: str, out_path: str, task_cpus: int = 1) -> dict:
     """One timed extraction run at the given parallelism. Runs in its own
     process/JVM; prints a JSON dict on the last stdout line.
 
+    ``master`` may be ``local[N]`` or ``local-cluster[n,c,mem]`` — the
+    latter launches n REAL executor JVMs and ships the package via
+    spark.submit.pyFiles (the north rule's multi-executor launch shape).
+
     ``task_cpus=2`` is used for the full-machine headline run: each
     extraction task runs a JVM scan/arrow thread plus a python worker, so
     scheduling one task per 2 cores keeps runnable threads ≈ cores
     (measured: stabilizes local[32] from 2.7-7.4 s swings to ~2.1 s)."""
-    cores = int(master.split("[")[1].rstrip("]"))
+    inner = master.split("[")[1].rstrip("]")
+    if master.startswith("local-cluster"):
+        n_exec, exec_cores = (int(x) for x in inner.split(",")[:2])
+        cores = n_exec * exec_cores
+    else:
+        cores = int(inner)
     from docling_ibm_models_spark.session import get_spark
 
     conf = {"spark.task.cpus": str(task_cpus)} if task_cpus > 1 else {}
+    if master.startswith("local-cluster"):
+        conf["spark.submit.pyFiles"] = _ensure_pyfiles_zip()
     spark = get_spark(f"bench-{master}", master=master, shuffle_partitions=cores, extra_conf=conf)
     from pyspark.sql import functions as F
 
@@ -364,6 +387,54 @@ def run_scaling_pair(pages_path: str, n_pages: int, small: int, big: int,
     _log(f"[scaling] pair {k}: small {p['wall_small']}s big {p['wall_big']}s "
          f"eff {p['efficiency']} steal {steal} probes {p['probe_s']} clean(steal)={clean}")
     return p
+
+def run_executor_pair(pages_path: str, n_pages: int, k: int, passes: int) -> dict:
+    """One N-vs-4N EXECUTOR pair: local-cluster[1,4,4096] (1 executor JVM,
+    4 cores) vs local-cluster[4,4,4096] (4 executor JVMs), package shipped
+    to executors via spark.submit.pyFiles, each side taskset-confined to
+    a core budget with the SAME per-task-slot headroom on both sides —
+    5 cores for 4 slots vs 20 for 16 (1.25x each). The headroom absorbs
+    the driver JVM and executor helper threads (GC, arrow, commit)
+    SYMMETRICALLY; the two asymmetric alternatives each distort by a
+    side-dependent amount that dwarfs the effect being measured
+    (measured at r256: pins 4/16 fold the driver into the small side's
+    budget -> eff 1.02; pins 5/17 hand the small side 25% extra headroom
+    vs 6% -> eff 0.76). The literal north-rule sentence ("multi-executor
+    cluster at two cluster sizes, N and 4N executors") emulated as
+    faithfully as a single host allows: separate executor processes,
+    real code shipping, per-executor python workers. Supplementary to
+    the primary local[2]/local[8] pair (same steal screening)."""
+    env_passes = os.environ.get("BENCH_TIMED_PASSES")
+    os.environ["BENCH_TIMED_PASSES"] = str(passes)
+    small_m, big_m = "local-cluster[1,4,4096]", "local-cluster[4,4,4096]"
+    try:
+        if k % 2 == 0:
+            r_s = run_worker_subprocess(small_m, pages_path, pin_cores=5)
+            r_b = run_worker_subprocess(big_m, pages_path, pin_cores=20)
+        else:
+            r_b = run_worker_subprocess(big_m, pages_path, pin_cores=20)
+            r_s = run_worker_subprocess(small_m, pages_path, pin_cores=5)
+    finally:
+        if env_passes is None:
+            os.environ.pop("BENCH_TIMED_PASSES", None)
+        else:
+            os.environ["BENCH_TIMED_PASSES"] = env_passes
+    eff = (n_pages / r_b["wall_s"]) / (n_pages / r_s["wall_s"]) / 4.0
+    p = {
+        "pair": k,
+        "wall_small": round(r_s["wall_s"], 3),
+        "wall_big": round(r_b["wall_s"], 3),
+        "walls_small": r_s["walls"],
+        "walls_big": r_b["walls"],
+        "probe_s": [r_s["probe_at_min"], r_b["probe_at_min"]],
+        "steal_at_min": max(r_s["steal_at_min"], r_b["steal_at_min"]),
+        "efficiency": round(eff, 4),
+        "clean": max(r_s["steal_at_min"], r_b["steal_at_min"]) <= STEAL_MAX,
+    }
+    _log(f"[executors] pair {k}: 1x4 {p['wall_small']}s 4x4 {p['wall_big']}s "
+         f"eff {p['efficiency']} steal {p['steal_at_min']} clean={p['clean']}")
+    return p
+
 
 def run_scaling(pages_path: str, n_pages: int, small: int, big: int) -> list[dict]:
     """Phase-A sampling: interleaved pass-pairs until >=MIN_CLEAN_PAIRS
@@ -608,7 +679,48 @@ def main() -> None:
         pairs.append(run_scaling_pair(pages_path, n_pages, small, big, len(pairs), passes))
         extra_c += 1
         cap_eff, med_eff = _current_stats()
+    # Multi-executor supplementary evidence: N vs 4N real executor JVMs
+    # (local-cluster + pyFiles). Capability over the sampled pairs (min
+    # wall per side), same strictly-subtractive-contention rationale.
+    # Its OWN workload, 4x the core one (r256 ~ 1.28M pages, 256 files):
+    # separate executor JVMs carry ~2 s/pass of fixed cost (RPC task
+    # rounds, multi-JVM commit) that a ~6 s big-side pass cannot amortize
+    # (measured eff 0.66 at r64); at r256 the big side runs ~18 s and the
+    # fixed cost is <3%. 256 files keep tasks ~1 s so wave-quantization
+    # stragglers stay amortized on both sides (16 waves vs 64).
+    exec_pairs = []
+    n_exec_pairs = int(os.environ.get("BENCH_EXEC_PAIRS", "2"))
+    exec_replicas = int(os.environ.get("BENCH_EXEC_REPLICAS", str(REPLICAS * 4)))
+    exec_passes = int(os.environ.get("BENCH_EXEC_PASSES", "2"))
+    exec_n = n_pages
+    if n_exec_pairs:
+        try:
+            exec_path, exec_n = (
+                (pages_path, n_pages)
+                if exec_replicas == REPLICAS
+                else materialize_pages(exec_replicas, files=256)
+            )
+            for j in range(n_exec_pairs):
+                exec_pairs.append(run_executor_pair(exec_path, exec_n, j, exec_passes))
+        except Exception as e:  # local-cluster launch is env-sensitive
+            _log(f"[executors] pair failed: {e}")
+
     scaling, detail = finalize_scaling(pairs, small, big)
+    if exec_pairs:
+        ex_eff = round(
+            min(p["wall_small"] for p in exec_pairs)
+            / (4 * min(p["wall_big"] for p in exec_pairs)),
+            4,
+        )
+        detail["executor_pairs"] = exec_pairs
+        detail["executor_pages"] = exec_n
+        scaling["executors"] = {
+            "small": "1x4",
+            "big": "4x4",
+            "pages_per_sec_small": round(exec_n / min(p["wall_small"] for p in exec_pairs), 1),
+            "pages_per_sec_big": round(exec_n / min(p["wall_big"] for p in exec_pairs), 1),
+            "efficiency": ex_eff,
+        }
     detail["full"] = {
         "walls": [w for r in fulls for w in r["walls"]],
         "steal": [s for r in fulls for s in r["steal_frac"]],

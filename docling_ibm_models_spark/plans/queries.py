@@ -5717,8 +5717,8 @@ def corpus_url_canonicalize(spark, sf_dir):
 
 _WINDOW_PRIORITY = [
     # -- the 40 with no round-3 driver row (source-registration order kept) --
-    "spatial_iopdf_join", "iou_match_join", "band_orphan_join",
-    "window_top1_match", "dense_rank_compaction",
+    "iou_match_join",
+    "window_top1_match",
     "reading_order_assembly", "caption_link_adjacency", "extract_match",
     "pipeline_layout_clusters", "pipeline_doc_assembly",
     "pipeline_figure_classes", "pipeline_code_formula",
@@ -5738,11 +5738,14 @@ _WINDOW_PRIORITY = [
     "events_retention_cohorts", "events_funnel", "events_rolling_24h",
     "corpus_incremental_dedup", "dedup_substring_windows",
     "corpus_perplexity_filter",
-    # -- ceded slots: tpch_q1_pricing (r1-r3 green, representative only)
-    #    and col_median_snap (r2 green + direct parity vs the reference
-    #    post_processor) made room for the two new never-checked queries;
-    #    every name here either has no driver row in any round or is the
-    #    r2-only §2 operator surface the round-3 verdict asked to verify --
+    "corpus_line_dedup", "corpus_gopher_rules", "corpus_url_canonicalize",
+    # -- ceded slots: tpch_q1_pricing (r1-r3 green, representative only),
+    #    col_median_snap (r2 green + direct parity vs the reference
+    #    post_processor), and — for the three late round-4 additions above —
+    #    spatial_iopdf_join / band_orphan_join / dense_rank_compaction (all
+    #    r2 driver-green, unchanged since, and parity-tested against the
+    #    imported reference modules). Every name here either has no driver
+    #    row in any round or changed materially since its last green row --
 ]
 
 

@@ -158,12 +158,17 @@ def docs_batch_to_pages(pdf: pd.DataFrame, replicas: int = 1) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"])
 
 
-def cached_pages_path(spark, sf_dir: str, replicas: int = 1) -> str:
+def cached_pages_path(
+    spark, sf_dir: str, replicas: int = 1, files: int | None = None
+) -> str:
     """Materialize :func:`pages_from_documents` once, cached under /tmp
-    keyed by (sf_dir, replicas, this file's hash). Page generation is a
-    pure function of the key, and regenerating it inside every consumer
-    (bench passes, extract_match) costs ~10-40 s/run at sf0.1; the cache is
-    the local stand-in for 'the pages table already exists in the lake'."""
+    keyed by (sf_dir, replicas, file count, this file's hash). Page
+    generation is a pure function of the key, and regenerating it inside
+    every consumer (bench passes, extract_match) costs ~10-40 s/run at
+    sf0.1; the cache is the local stand-in for 'the pages table already
+    exists in the lake'. ``files`` pins the output file count (scan-task
+    granularity for downstream consumers); default is the generating
+    session's ``defaultParallelism * 2``."""
     import hashlib
     import os
     import tempfile
@@ -179,12 +184,13 @@ def cached_pages_path(spark, sf_dir: str, replicas: int = 1) -> str:
         with open(mod_file, "rb") as f:
             h.update(f.read())
     gen_hash = h.hexdigest()[:12]
-    key = f"{sf_dir.replace('/', '_')}-r{replicas}-{gen_hash}"
+    fpart = f"-f{files}" if files else ""
+    key = f"{sf_dir.replace('/', '_')}-r{replicas}{fpart}-{gen_hash}"
     path = os.path.join(tempfile.gettempdir(), "bench_pages_cache", key, "pages")
     if not os.path.exists(f"{path}/_SUCCESS"):
-        pages_from_documents(spark, sf_dir, replicas=replicas).write.mode(
-            "overwrite"
-        ).parquet(path)
+        pages_from_documents(
+            spark, sf_dir, replicas=replicas, parallelism=files
+        ).write.mode("overwrite").parquet(path)
     return path
 
 
