@@ -6,17 +6,23 @@ at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS], plus per-query wall times and the BASELINE.md
 two-parallelism scaling evidence (same job at local[N] and local[4N]).
 
-Scaling protocol (v3, round 4):
-  * Each side runs CORE-CONFINED: ``taskset -c 0-(N-1)`` around the whole
-    worker process tree (JVM scan/write threads, python workers, GC) — the
-    local analog of a fixed-size executor's cgroup. Unconfined local[N] on
-    a 32-core box lets helper threads spill onto idle cores, which
-    measured as a meaningless superlinear 1.017 "efficiency" at r64.
-  * The timed workload is 320k pages (BENCH_PAGE_REPLICAS=64): the ~0.8 s
-    fixed per-pass cost (scan planning, commit, driver coordination)
-    is <3% of the big side instead of ~25% at 80k, matching the metric's
-    regime (10^12-doc jobs, where fixed costs vanish). Measured confined
-    r64 pair: eff 0.954.
+Scaling protocol (v4, round 4):
+  * Sides are local[4] vs local[16] (N vs 4N task slots). Each side runs
+    CORE-CONFINED via taskset around the whole worker process tree (JVM
+    scan/write threads, python workers, GC) — the local analog of a
+    fixed-size executor's cgroup — with a budget of slots + SYMMETRIC 25%
+    helper headroom (5 and 20 cores; see _pin_budget). Unconfined local[N]
+    on a 32-core box lets helper threads spill onto idle cores (measured:
+    meaningless superlinear 1.017); exact slot==core pins fold the fixed
+    helper stream into the budget, taxing the small side ~4x harder
+    (measured after the round-4 kernel speedup: capability 1.138 — equally
+    meaningless in the other direction).
+  * The scaling workload is 1.28M pages in 256 files (4x the 320k-page
+    headline workload): the ~0.8 s fixed per-pass cost (scan planning,
+    commit, driver coordination) stays <3% of the big side's ~15 s pass,
+    matching the metric's regime (10^12-doc jobs, where fixed costs
+    vanish), and ~1 s tasks keep wave-quantization stragglers amortized
+    on both sides (16 vs 64 waves).
   * >=3 INTERLEAVED pass-pairs: each pair runs one small-parallelism
     invocation immediately followed by one big-parallelism invocation, so
     a noisy-VM window hits both sides of a pair, not one side of the ratio.
@@ -307,6 +313,23 @@ def run_skew_probe() -> dict:
     return res
 
 
+def _pin_budget(slots: int) -> int:
+    """Core budget for a side with ``slots`` task slots: slots + 25%
+    headroom (integer). The headroom absorbs the fixed helper-thread
+    stream every Spark process carries (driver scheduling, GC, Arrow
+    serving, parquet commit) SYMMETRICALLY per slot. Both asymmetric
+    alternatives are measurably wrong on this box:
+      * exact pins (slots == cores) fold the helpers into the budget,
+        taxing the small side ~4x harder -> superlinear readings
+        (measured r64 2-vs-8 exact pins after the round-4 kernel
+        speedup: capability 1.138, clean-median 1.013 — the helper
+        stream became relatively large once python kernel time shrank);
+      * a flat +1 driver core hands the small side proportionally more
+        headroom (measured on the executor pair: eff 0.76).
+    25%/slot on both sides keeps the ratio a scaling measurement."""
+    return slots + max(1, slots // 4)
+
+
 def _pin_prefix(cores: int | None) -> list[str]:
     """taskset prefix confining the whole worker tree (JVM scan/write
     threads, python workers, GC) to ``cores`` physical cores — the local
@@ -351,11 +374,11 @@ def run_scaling_pair(pages_path: str, n_pages: int, small: int, big: int,
         # overlaps one temporal half of every pair would otherwise bias one
         # side systematically
         if k % 2 == 0:
-            r_s = run_worker_subprocess(f"local[{small}]", pages_path, pin_cores=small)
-            r_b = run_worker_subprocess(f"local[{big}]", pages_path, pin_cores=big)
+            r_s = run_worker_subprocess(f"local[{small}]", pages_path, pin_cores=_pin_budget(small))
+            r_b = run_worker_subprocess(f"local[{big}]", pages_path, pin_cores=_pin_budget(big))
         else:
-            r_b = run_worker_subprocess(f"local[{big}]", pages_path, pin_cores=big)
-            r_s = run_worker_subprocess(f"local[{small}]", pages_path, pin_cores=small)
+            r_b = run_worker_subprocess(f"local[{big}]", pages_path, pin_cores=_pin_budget(big))
+            r_s = run_worker_subprocess(f"local[{small}]", pages_path, pin_cores=_pin_budget(small))
     finally:
         if env_passes is None:
             os.environ.pop("BENCH_TIMED_PASSES", None)
@@ -444,7 +467,7 @@ def run_scaling(pages_path: str, n_pages: int, small: int, big: int) -> list[dic
     green, clean-pair median 0.768 red): contention is strictly
     subtractive, so a depressed median means some sampled pairs caught a
     window — more samples, never fewer, is the unbiased remedy."""
-    passes = int(os.environ.get("BENCH_SCALING_PASSES", "3"))
+    passes = int(os.environ.get("BENCH_SCALING_PASSES", "2"))
     pairs: list[dict] = []
     k = 0
     while k < MAX_PAIRS:
@@ -544,7 +567,7 @@ def finalize_scaling(pairs: list[dict], small: int, big: int) -> tuple[dict, dic
         "side-symmetric); cross-check = median of per-pair efficiencies "
         f"over pairs with min-wall steal <= {STEAL_MAX} and 8-thread "
         "parallel-probe brackets within PROBE_RATIO_MAX of session best",
-        "passes_per_invocation": int(os.environ.get("BENCH_SCALING_PASSES", "3")),
+        "passes_per_invocation": int(os.environ.get("BENCH_SCALING_PASSES", "2")),
         "pairs": pairs,
         "discarded": [p["pair"] for p in pairs if not p["clean"]],
         "clean_pairs": len(clean),
@@ -600,14 +623,24 @@ def main() -> None:
 
     pages_path, n_pages = materialize_pages()
 
-    # Scaling pair: N=2 vs 4N=8 cores, each side taskset-confined to
-    # exactly its core budget (see _pin_prefix) — the honest local analog
-    # of N vs 4N fixed-size executor *clusters*, both far below this VM's
-    # memory-bandwidth ceiling. Headline run uses the full machine.
-    small = max(1, CPUS // 16)
-    big = max(2, CPUS // 4)
+    # Scaling pair: N=4 vs 4N=16 task slots, each side taskset-confined to
+    # its slot budget + symmetric 25% helper headroom (see _pin_budget) —
+    # the honest local analog of N vs 4N fixed-size executor *clusters*.
+    # The pair runs on its own 4x workload (r256 ~= 1.28M pages, 256
+    # files, shared with the executor pairs below): at the round-4 kernel
+    # speed the 320k workload leaves the big side a ~7 s pass where the
+    # ~0.8 s fixed cost and JIT transient are no longer negligible.
+    # Headline run uses the full machine on the core 320k workload.
+    small = max(2, CPUS // 8)
+    big = max(4, CPUS // 2)
+    scale_replicas = int(os.environ.get("BENCH_SCALE_REPLICAS", str(REPLICAS * 4)))
+    scale_path, scale_n = (
+        (pages_path, n_pages)
+        if scale_replicas == REPLICAS
+        else materialize_pages(scale_replicas, files=256)
+    )
     # Phase A: interleaved pairs now
-    pairs = run_scaling(pages_path, n_pages, small, big)
+    pairs = run_scaling(scale_path, scale_n, small, big)
 
     # full-machine headline: two interleaved invocations — a single one can
     # land entirely inside a noisy window. Each invocation runs MORE timed
@@ -647,9 +680,9 @@ def main() -> None:
     # can depress the big side for many minutes with near-zero steal —
     # temporal spread is the only in-VM defense; the median over ALL clean
     # pairs from both phases absorbs one bad window.
-    passes = int(os.environ.get("BENCH_SCALING_PASSES", "3"))
+    passes = int(os.environ.get("BENCH_SCALING_PASSES", "2"))
     for j in range(int(os.environ.get("BENCH_PHASE_B_PAIRS", "2"))):
-        pairs.append(run_scaling_pair(pages_path, n_pages, small, big, len(pairs), passes))
+        pairs.append(run_scaling_pair(scale_path, scale_n, small, big, len(pairs), passes))
     # Phase C (conditional, capped): when EITHER estimator — the headline
     # capability ratio OR the clean-pair median cross-check — is still
     # below EFF_TARGET, sample up to BENCH_PHASE_C_MAX more pairs. This is
@@ -676,7 +709,7 @@ def main() -> None:
     while (cap_eff < EFF_TARGET or med_eff < EFF_TARGET) and extra_c < max_c:
         _log(f"[scaling] capability {cap_eff:.3f} / clean-median {med_eff:.3f} "
              f"below {EFF_TARGET}; phase-C pair")
-        pairs.append(run_scaling_pair(pages_path, n_pages, small, big, len(pairs), passes))
+        pairs.append(run_scaling_pair(scale_path, scale_n, small, big, len(pairs), passes))
         extra_c += 1
         cap_eff, med_eff = _current_stats()
     # Multi-executor supplementary evidence: N vs 4N real executor JVMs
@@ -690,18 +723,12 @@ def main() -> None:
     # stragglers stay amortized on both sides (16 waves vs 64).
     exec_pairs = []
     n_exec_pairs = int(os.environ.get("BENCH_EXEC_PAIRS", "2"))
-    exec_replicas = int(os.environ.get("BENCH_EXEC_REPLICAS", str(REPLICAS * 4)))
     exec_passes = int(os.environ.get("BENCH_EXEC_PASSES", "2"))
-    exec_n = n_pages
+    exec_n = scale_n
     if n_exec_pairs:
         try:
-            exec_path, exec_n = (
-                (pages_path, n_pages)
-                if exec_replicas == REPLICAS
-                else materialize_pages(exec_replicas, files=256)
-            )
             for j in range(n_exec_pairs):
-                exec_pairs.append(run_executor_pair(exec_path, exec_n, j, exec_passes))
+                exec_pairs.append(run_executor_pair(scale_path, scale_n, j, exec_passes))
         except Exception as e:  # local-cluster launch is env-sensitive
             _log(f"[executors] pair failed: {e}")
 
