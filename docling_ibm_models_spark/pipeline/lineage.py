@@ -56,19 +56,24 @@ class RunReport:
 
 
 def list_file_groups(
-    spark: SparkSession, input_path: str, num_groups: int
+    spark: SparkSession,
+    input_path: str,
+    num_groups: int,
+    suffix: str | tuple[str, ...] = ".parquet",
 ) -> list[list[str]]:
     """Deterministically bucket the input's data files into lineage groups.
 
     Local stand-in for planning Iceberg file scan tasks: sorted file list,
     round-robin into ``num_groups`` buckets (files are size-balanced by the
-    writer, so round-robin keeps groups even)."""
+    writer, so round-robin keeps groups even). ``suffix`` selects the data
+    files (``.parquet`` for lake tables, ``.warc``/``.warc.gz`` for raw
+    crawl archives)."""
     jvm_path = spark._jvm.org.apache.hadoop.fs.Path(input_path)
     fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
     files = sorted(
         str(f.getPath())
         for f in fs.listStatus(jvm_path)
-        if f.isFile() and f.getPath().getName().endswith(".parquet")
+        if f.isFile() and f.getPath().getName().endswith(suffix)
     )
     groups: list[list[str]] = [[] for _ in range(min(num_groups, max(1, len(files))))]
     for i, f in enumerate(files):
@@ -148,15 +153,36 @@ def run_extraction(
     num_partitions: int = 32,
     chunk_partitions: int | None = None,
     max_chunks: int | None = None,
+    input_format: str = "parquet",
 ) -> RunReport:
     """Run (or resume) the extraction of the pages table at ``pages_path``.
 
     ``chunk_partitions`` controls checkpoint granularity (file groups per
     commit). ``max_chunks`` lets tests simulate a mid-run kill: the run
     stops after N committed chunks; a later call resumes exactly there.
+    ``input_format='warc'`` runs the same lineage/resume machinery directly
+    over raw crawl archives (sources/warc_source.py) — group = set of
+    archives, scan = binaryFile + parse, everything downstream identical.
     """
+    suffix: str | tuple[str, ...]
+    if input_format == "warc":
+        from docling_ibm_models_spark.sources.warc_source import pages_from_warc
+
+        suffix = (".warc", ".warc.gz")
+
+        def read_group(files: list[str]) -> DataFrame:
+            return pages_from_warc(spark, files)
+
+    elif input_format == "parquet":
+        suffix = ".parquet"
+
+        def read_group(files: list[str]) -> DataFrame:
+            return spark.read.parquet(*files)
+
+    else:
+        raise ValueError(f"unknown input_format {input_format!r}")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    groups = list_file_groups(spark, pages_path, num_partitions)
+    groups = list_file_groups(spark, pages_path, num_partitions, suffix=suffix)
     _check_snapshot_manifest(spark, out_dir, snapshot_id, groups)
     num_groups = len(groups)
     chunk_partitions = chunk_partitions or num_groups
@@ -174,9 +200,7 @@ def run_extraction(
         # one scan per group (narrow, file-pruned), unioned into one job
         extracted: DataFrame | None = None
         for gid in chunk:
-            part = extract_doc_text(
-                spark.read.parquet(*groups[gid]), partition_id=gid
-            )
+            part = extract_doc_text(read_group(groups[gid]), partition_id=gid)
             extracted = part if extracted is None else extracted.unionByName(part)
         assert extracted is not None
         extracted = extracted.persist()

@@ -29,6 +29,12 @@ def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description="Main-content extraction over a pages table")
     ap.add_argument("--pages", required=True, help="input pages parquet dir (input_hint shape)")
     ap.add_argument("--out", required=True, help="output dir (doc_text/ + lineage/)")
+    ap.add_argument(
+        "--format",
+        choices=["parquet", "warc"],
+        default="parquet",
+        help="input layout: lake pages table (parquet) or raw crawl archives (warc)",
+    )
     ap.add_argument("--partitions", type=int, default=32, help="lineage file groups")
     ap.add_argument("--chunk-partitions", type=int, default=None, help="groups per commit")
     ap.add_argument("--snapshot-desc", default=None, help="snapshot descriptor (defaults to pages path)")
@@ -44,6 +50,7 @@ def main(argv: list[str] | None = None) -> int:
         snap,
         num_partitions=args.partitions,
         chunk_partitions=args.chunk_partitions,
+        input_format=args.format,
     )
     print(json.dumps(report.__dict__))
     spark.stop()

@@ -1,0 +1,216 @@
+"""WARC ingestion source: writer/parser round-trip and the Spark scan.
+
+The north-rule input table materializes from Common-Crawl-style WARC
+archives in production; these tests prove the on-ramp end to end — pages
+synthesized by pages_source → WARC archives (all three wild layouts) →
+``pages_from_warc`` binaryFile scan → byte-identical html, and the full
+extraction invariant (byte-identical extracted text per url) through the
+WARC path.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pytest
+
+from docling_ibm_models_spark.sources.warc_source import (
+    iter_warc_records,
+    pages_from_warc,
+    warc_records_to_rows,
+    write_warc,
+)
+
+from .conftest import SF_SMALL
+
+TS0 = dt.datetime(2024, 3, 5, 12, 0, 7, tzinfo=dt.timezone.utc)
+
+
+def _recs(n: int, salt: str = "") -> list[tuple[str, dt.datetime, bytes]]:
+    return [
+        (
+            f"https://ex{i}.com/{salt}p",
+            TS0 + dt.timedelta(seconds=i),
+            f"<html><body><p>doc {salt}{i} body with bytes \xe9—</p></body></html>".encode(),
+        )
+        for i in range(n)
+    ]
+
+
+@pytest.mark.parametrize("compression", ["record", "file", "none"])
+def test_round_trip(tmp_path, compression):
+    recs = _recs(7)
+    p = str(tmp_path / f"a.{compression}.warc")
+    n_written = write_warc(p, recs, compression=compression)
+    raw = open(p, "rb").read()
+    assert n_written == 8  # warcinfo + 7 responses
+    assert len(list(iter_warc_records(raw))) == 8  # warcinfo parsed too
+    rows = list(warc_records_to_rows("a", raw))
+    assert [(r[0], r[1], r[2]) for r in rows] == recs
+    assert all(r[3] is None for r in rows)  # no <html lang> in these bodies
+    offsets = [r[5] for r in rows]
+    assert offsets == sorted(offsets)
+    if compression != "file":
+        # CDX-style provenance: every response record has its own offset
+        assert len(set(offsets)) == len(rows)
+
+
+def test_record_gzip_offsets_are_member_starts(tmp_path):
+    """Record-compressed offsets must point at real gzip member starts —
+    the property CDX indexes rely on for random access into CC archives."""
+    import gzip
+    import io
+
+    p = str(tmp_path / "cc.warc.gz")
+    recs = _recs(5)
+    write_warc(p, recs, compression="record")
+    raw = open(p, "rb").read()
+    for _, _, html, _, _, off in warc_records_to_rows("cc", raw):
+        member = gzip.GzipFile(fileobj=io.BytesIO(raw[off:])).read()
+        assert member.startswith(b"WARC/1.0\r\n")
+        assert html in member
+
+
+def test_bare_lf_headers(tmp_path):
+    """Some writers emit bare-LF line endings; the parser tolerates them."""
+    body = b"<html><body>lf doc</body></html>"
+    block = b"HTTP/1.1 200 OK\n\n" + body
+    rec = (
+        b"WARC/1.0\n"
+        b"WARC-Type: response\n"
+        b"WARC-Target-URI: https://lf.example/x\n"
+        b"WARC-Date: 2024-03-05T12:00:07Z\n"
+        + f"Content-Length: {len(block)}".encode()
+        + b"\n\n"
+        + block
+        + b"\n\n"
+    )
+    rows = list(warc_records_to_rows("lf", rec))
+    assert rows == [
+        ("https://lf.example/x", TS0, body, None, "lf", 0),
+    ]
+
+
+def test_pages_from_warc_spark_scan(spark, tmp_path):
+    """binaryFile scan over a directory of mixed-layout archives returns
+    every response record with byte-identical html and correct offsets."""
+    warc_dir = tmp_path / "warcs"
+    os.makedirs(warc_dir)
+    expected: dict[str, tuple[dt.datetime, bytes]] = {}
+    for i, comp in enumerate(["record", "file", "none"]):
+        recs = _recs(6, salt=f"f{i}-")
+        write_warc(str(warc_dir / f"part-{i}.warc.gz"), recs, compression=comp)
+        expected.update({u: (ts, html) for u, ts, html in recs})
+
+    df = pages_from_warc(spark, str(warc_dir))
+    rows = df.collect()
+    assert len(rows) == 18
+    for r in rows:
+        ts, html = expected[r.url]
+        assert bytes(r.html) == html
+        assert r.warc_ts == ts.replace(tzinfo=None) or r.warc_ts.replace(
+            tzinfo=dt.timezone.utc
+        ) == ts
+        assert r.warc_file.endswith((".warc.gz",))
+        assert r.warc_offset >= 0
+    # offsets from the Spark path match the pure-python parser exactly
+    raw0 = open(warc_dir / "part-0.warc.gz", "rb").read()
+    py_offsets = {u: off for u, _, _, _, _, off in warc_records_to_rows("x", raw0)}
+    for r in rows:
+        if r.warc_file.endswith("part-0.warc.gz"):
+            assert r.warc_offset == py_offsets[r.url]
+
+
+def test_extraction_through_warc_path_is_byte_identical(spark, tmp_path):
+    """The full north-rule invariant through the WARC on-ramp: archives
+    built from the synthetic pages rows extract to byte-identical text."""
+    from docling_ibm_models_spark.pipeline.extract import (
+        doc_text_clean,
+        extract_doc_text,
+    )
+    from docling_ibm_models_spark.sources.pages_source import pages_from_documents
+
+    pages = pages_from_documents(spark, SF_SMALL, parallelism=4).limit(120)
+    src = [
+        (r.url, r.warc_ts.replace(tzinfo=dt.timezone.utc), bytes(r.html), r.text)
+        for r in pages.collect()
+    ]
+    warc_dir = tmp_path / "cc"
+    os.makedirs(warc_dir)
+    third = (len(src) + 2) // 3
+    for i, comp in enumerate(["record", "file", "none"]):
+        chunk = src[i * third : (i + 1) * third]
+        write_warc(
+            str(warc_dir / f"crawl-{i}.warc.gz"),
+            [(u, ts, h) for u, ts, h, _ in chunk],
+            compression=comp,
+        )
+
+    scanned = pages_from_warc(spark, str(warc_dir))
+    out = doc_text_clean(extract_doc_text(scanned))
+    got = {r.url: r.extracted_text for r in out.collect()}
+    want = {u: t for u, _, _, t in src}
+    assert len(got) == len(src)
+    assert got == want  # byte-identical per url, through WARC bytes
+    # the sniffed lang column matches the synthetic page's declared lang
+    langs = {r.url: r.lang for r in scanned.select("url", "lang").collect()}
+    for u, _, _, _ in src:
+        assert langs[u] == u.split("/")[3]  # url path carries the lang
+
+
+def test_warc_extraction_path_is_shuffle_free(spark, tmp_path):
+    """The WARC production path — binaryFile scan → mapInPandas parse →
+    mapInArrow extraction — must contain NO Exchange: archive ingestion
+    and extraction stay narrow end to end, exactly like the parquet path."""
+    from docling_ibm_models_spark.pipeline.extract import extract_doc_text
+
+    warc_dir = tmp_path / "w"
+    os.makedirs(warc_dir)
+    write_warc(str(warc_dir / "a.warc.gz"), _recs(3), compression="record")
+    from .test_plan_quality import plan_of
+
+    out = extract_doc_text(pages_from_warc(spark, str(warc_dir)))
+    plan = plan_of(out)
+    assert "Exchange" not in plan, "WARC extraction path gained a shuffle"
+    assert "MapInArrow" in plan and "BatchEvalPython" not in plan
+
+
+def test_warc_lineage_and_resume(spark, tmp_path):
+    """The lineage/resume machinery runs directly over raw crawl archives:
+    mid-run kill, exact resume, byte-identical complete output."""
+    from pyspark.sql import functions as F
+
+    from docling_ibm_models_spark.pipeline.lineage import (
+        committed_partitions,
+        run_extraction,
+        snapshot_id_for,
+    )
+    from docling_ibm_models_spark.sources.pages_source import pages_from_documents
+    from docling_ibm_models_spark.sources.warc_source import write_warc_archives
+
+    out_dir = str(tmp_path / "out")
+    warc_dir = str(tmp_path / "archives")
+    pages = pages_from_documents(spark, SF_SMALL, parallelism=8)
+    n_archives = write_warc_archives(pages.repartition(8, "url"), warc_dir)
+    assert n_archives == 8
+    snap = snapshot_id_for(f"warc|{SF_SMALL}")
+
+    r1 = run_extraction(
+        spark, warc_dir, out_dir, snap, num_partitions=4,
+        chunk_partitions=1, max_chunks=2, input_format="warc",
+    )
+    assert r1.partitions_processed == 2
+    assert len(committed_partitions(spark, out_dir, snap)) == 2
+
+    r2 = run_extraction(
+        spark, warc_dir, out_dir, snap, num_partitions=4,
+        chunk_partitions=1, input_format="warc",
+    )
+    assert r2.partitions_done_before == 2
+    assert r1.docs_processed + r2.docs_processed == 500
+
+    result = spark.read.parquet(f"{out_dir}/doc_text")
+    joined = result.join(pages.select("url", F.col("text").alias("expected")), "url")
+    assert result.count() == 500
+    assert joined.filter(F.col("extracted_text") != F.col("expected")).count() == 0
