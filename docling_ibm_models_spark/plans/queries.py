@@ -5750,6 +5750,120 @@ def corpus_url_canonicalize(spark, sf_dir):
     )
 
 
+_URL_SQL = (
+    "'https://' || source || '.example.org/' || lang || '/doc-' "
+    "|| lpad(doc_id::VARCHAR, 8, '0') || '-0'"
+)
+
+
+def _url_col():
+    return F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.org/"),
+        F.col("lang"),
+        F.lit("/doc-"),
+        F.lpad(F.col("doc_id").cast("string"), 8, "0"),
+        F.lit("-0"),
+    )
+
+
+@register(
+    "crawl_snapshot_diff",
+    oracle=f"""
+    WITH a AS (
+        SELECT {_URL_SQL} AS url, md5(text) AS h
+        FROM documents WHERE doc_id % 10 <> 0
+    ),
+    b AS (
+        SELECT {_URL_SQL} AS url,
+               CASE WHEN doc_id % 3 = 0 THEN md5(text || '!v2')
+                    ELSE md5(text) END AS h
+        FROM documents WHERE doc_id % 7 <> 0
+    )
+    SELECT coalesce(a.url, b.url) AS url,
+           CASE WHEN a.h IS NULL THEN 'added'
+                WHEN b.h IS NULL THEN 'removed'
+                WHEN a.h <> b.h THEN 'changed'
+                ELSE 'unchanged' END AS status
+    FROM a FULL OUTER JOIN b ON a.url = b.url
+    ORDER BY url
+    """,
+)
+def crawl_snapshot_diff(spark, sf_dir):
+    """Snapshot delta between two crawls — the monthly-Common-Crawl
+    question 'what was added / removed / changed since the last snapshot':
+    FULL OUTER join of the two snapshots' (url, content-hash) projections,
+    CASE classification. The two snapshots are derived deterministically
+    from the documents table (disjoint doc_id modulus filters; snapshot B
+    mutates every third doc's content) with the identical formula in both
+    dialects. At 10^12 rows: one url-hash shuffle per side into a
+    sort-merge full-outer join — the canonical diff plan; at scale both
+    snapshots are url-bucketed lake tables and the join goes
+    Exchange-free (pipeline/bucketing.py evidence). [engine addition]"""
+    d = _t(spark, sf_dir, "documents")
+    a = d.where(F.col("doc_id") % 10 != 0).select(
+        _url_col().alias("url"), F.md5(F.col("text")).alias("h_a")
+    )
+    b = d.where(F.col("doc_id") % 7 != 0).select(
+        _url_col().alias("url"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.md5(F.concat(F.col("text"), F.lit("!v2"))),
+        )
+        .otherwise(F.md5(F.col("text")))
+        .alias("h_b"),
+    )
+    return (
+        a.join(b, "url", "full_outer")
+        .select(
+            "url",
+            F.when(F.col("h_a").isNull(), "added")
+            .when(F.col("h_b").isNull(), "removed")
+            .when(F.col("h_a") != F.col("h_b"), "changed")
+            .otherwise("unchanged")
+            .alias("status"),
+        )
+        .orderBy("url")
+    )
+
+
+@register(
+    "corpus_cdx_surt",
+    oracle=f"""
+    SELECT array_to_string(list_reverse(string_split(source || '.example.org', '.')), ',')
+             || ')/' || lang || '/doc-' || lpad(doc_id::VARCHAR, 8, '0') || '-0'
+             AS surt_key,
+           {_URL_SQL} AS url
+    FROM documents
+    ORDER BY surt_key, url
+    """,
+)
+def corpus_cdx_surt(spark, sf_dir):
+    """CDX index build: every capture keyed by its SURT (Sort-friendly URI
+    Reordering Transform — host components reversed, comma-joined, then
+    ')/path') and globally sorted, the exact key web archives use so one
+    range scan answers 'all captures under *.example.org'. Pure codegen
+    string ops (split/reverse/concat) + ONE range exchange for the global
+    sort — at 10^12 rows that is repartitionByRange + per-partition sort,
+    the canonical distributed index-build plan (sorted run per output
+    file, min/max SURT in the footer = range pruning). [public SURT spec;
+    engine addition]"""
+    d = _t(spark, sf_dir, "documents")
+    host = F.concat(F.col("source"), F.lit(".example.org"))
+    surt = F.concat(
+        F.concat_ws(",", F.reverse(F.split(host, "\\."))),
+        F.lit(")/"),
+        F.col("lang"),
+        F.lit("/doc-"),
+        F.lpad(F.col("doc_id").cast("string"), 8, "0"),
+        F.lit("-0"),
+    )
+    return d.select(surt.alias("surt_key"), _url_col().alias("url")).orderBy(
+        "surt_key", "url"
+    )
+
+
 # ===========================================================================
 # Registry ordering — the driver's CORRECTNESS check windows the FIRST 50
 # entries of ``queries()``.  Round 3 proved the window is a hard cap: the 40

@@ -322,3 +322,25 @@ def test_gopher_rules_is_pure_scan(spark):
     exchanges = re.findall(r"Exchange (\w+)", plan)
     assert all(e == "rangepartitioning" for e in exchanges), exchanges
     assert "Join" not in plan and "Window" not in plan
+
+
+def test_snapshot_diff_is_single_smj_full_outer(spark):
+    """crawl_snapshot_diff: one url-hash exchange per side into a single
+    sort-merge FullOuter join — no nested-loop, no Python nodes."""
+    from docling_ibm_models_spark.plans.queries import QUERIES
+
+    plan = plan_of(QUERIES["crawl_snapshot_diff"](spark, SF_MED))
+    assert "FullOuter" in plan
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_cdx_surt_is_codegen_plus_one_range_sort(spark):
+    """corpus_cdx_surt: pure JVM string expressions + exactly one
+    rangepartitioning exchange (the global index sort)."""
+    from docling_ibm_models_spark.plans.queries import QUERIES
+
+    plan = plan_of(QUERIES["corpus_cdx_surt"](spark, SF_MED))
+    assert plan.count("rangepartitioning(") == 1
+    assert "hashpartitioning" not in plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
