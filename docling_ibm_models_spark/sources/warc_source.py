@@ -151,7 +151,14 @@ def _iter_decompressed(raw: bytes) -> Iterator[tuple[bytes, int]]:
     view = memoryview(raw)
     while pos < len(raw) and raw[pos : pos + 2] == _GZIP_MAGIC:
         obj = _zlib.decompressobj(wbits=31)
-        out = obj.decompress(view[pos:])
+        try:
+            out = obj.decompress(view[pos:])
+        except _zlib.error:
+            # truncated/corrupt member (torn upload, bad disk block): keep
+            # every record already parsed, drop the damaged tail — a single
+            # bad archive must cost its tail records, not the whole task
+            # (at 100k-archive scale a job-killing parse is unacceptable)
+            break
         consumed = len(raw) - pos - len(obj.unused_data)
         yield out, pos
         pos += consumed
@@ -292,21 +299,25 @@ def pages_from_warc(spark, path_glob: str | list[str]):
     lineage sink records per partition.
     """
 
-    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cols = ["url", "warc_ts", "html", "lang", "warc_file", "warc_offset"]
-        for pdf in batches:
-            rows: list[tuple] = []
-            for name, raw in zip(pdf["path"], pdf["content"]):
-                for row in warc_records_to_rows(name, bytes(raw)):
-                    rows.append(row)
-                    if len(rows) >= _CHUNK_ROWS:
-                        yield pd.DataFrame(rows, columns=cols)
-                        rows = []
-            if rows:
-                yield pd.DataFrame(rows, columns=cols)
-
     src = spark.read.format("binaryFile").load(path_glob)
-    return src.select("path", "content").mapInPandas(parse, PAGES_FROM_WARC_SCHEMA)
+    return src.select("path", "content").mapInPandas(
+        _parse_archive_batches, PAGES_FROM_WARC_SCHEMA
+    )
+
+
+def _parse_archive_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """(path, content) batches → pages-shaped frames in bounded chunks."""
+    cols = ["url", "warc_ts", "html", "lang", "warc_file", "warc_offset"]
+    for pdf in batches:
+        rows: list[tuple] = []
+        for name, raw in zip(pdf["path"], pdf["content"]):
+            for row in warc_records_to_rows(name, bytes(raw)):
+                rows.append(row)
+                if len(rows) >= _CHUNK_ROWS:
+                    yield pd.DataFrame(rows, columns=cols)
+                    rows = []
+        if rows:
+            yield pd.DataFrame(rows, columns=cols)
 
 
 def write_warc_archives(pages_df, out_dir: str) -> int:

@@ -57,6 +57,56 @@ def stream_extract(
     return q
 
 
+def stream_extract_warc(
+    spark: SparkSession,
+    warc_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    await_termination: bool = True,
+):
+    """Continuous crawl ingestion: WARC archives land in a directory, the
+    stream parses and extracts each exactly once.
+
+    ``binaryFile`` is a streaming-capable file source with a fixed
+    provided schema, so the checkpoint's file log gives exactly-once *per
+    archive* — the unit CC pipelines actually ingest by. The plan is the
+    batch plan verbatim (binaryFile scan → parse → extraction kernel);
+    AvailableNow + checkpoint = incremental batch over newly landed
+    archives, the streaming twin of run_extraction(input_format='warc')'s
+    lineage anti-join."""
+    from docling_ibm_models_spark.sources.warc_source import (
+        PAGES_FROM_WARC_SCHEMA,
+        _parse_archive_batches,
+    )
+
+    # binaryFile's schema is fixed by the source, but streaming file
+    # sources require it stated explicitly
+    archives = (
+        spark.readStream.format("binaryFile")
+        .schema("path string, modificationTime timestamp, length long, content binary")
+        .load(warc_dir)
+    )
+    pages = archives.select("path", "content").mapInPandas(
+        _parse_archive_batches, PAGES_FROM_WARC_SCHEMA
+    )
+    extracted = (
+        pages.withColumn("partition_id", F.lit(0))
+        .select("url", "lang", "html", "partition_id")
+        .mapInPandas(_extract_batches, schema=_extract_schema())
+        .drop("wall_s")
+    )
+    q = (
+        extracted.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if await_termination:
+        q.awaitTermination()
+    return q
+
+
 def _extract_schema():
     from docling_ibm_models_spark.pipeline.extract import _EXTRACT_SCHEMA
 

@@ -214,3 +214,59 @@ def test_warc_lineage_and_resume(spark, tmp_path):
     joined = result.join(pages.select("url", F.col("text").alias("expected")), "url")
     assert result.count() == 500
     assert joined.filter(F.col("extracted_text") != F.col("expected")).count() == 0
+
+
+def test_corrupt_tail_keeps_parsed_records(tmp_path):
+    """A truncated/corrupted gzip member costs its own records, never the
+    records already parsed (a single bad archive must not kill the task)."""
+    p = str(tmp_path / "t.warc.gz")
+    write_warc(p, _recs(6), compression="record")
+    raw = bytearray(open(p, "rb").read())
+    offsets = [r[5] for r in warc_records_to_rows("t", bytes(raw))]
+    cut = offsets[4] + 10  # truncate inside the 5th response's member
+    rows = list(warc_records_to_rows("t", bytes(raw[:cut])))
+    assert [r[0] for r in rows] == [u for u, _, _ in _recs(4)]
+    # corrupt (not truncate) the same member: flip bytes mid-member
+    bad = bytearray(raw)
+    bad[offsets[4] + 12 : offsets[4] + 16] = b"\x00\x00\x00\x00"
+    rows2 = list(warc_records_to_rows("t", bytes(bad)))
+    assert [r[0] for r in rows2] == [u for u, _, _ in _recs(4)]
+
+
+def test_stream_extract_warc_exactly_once_per_archive(spark, tmp_path):
+    """Archives land incrementally; each is parsed+extracted exactly once
+    (checkpointed binaryFile stream), output equals the batch path."""
+    from pyspark.sql import functions as F
+
+    from docling_ibm_models_spark.pipeline.extract import (
+        doc_text_clean,
+        extract_doc_text,
+    )
+    from docling_ibm_models_spark.sources.pages_source import pages_from_documents
+    from docling_ibm_models_spark.streaming.stream_extract import stream_extract_warc
+
+    warc_dir = tmp_path / "landing"
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(warc_dir)
+
+    pages = pages_from_documents(spark, SF_SMALL, parallelism=4, max_doc_id=120)
+    src = [
+        (r.url, r.warc_ts.replace(tzinfo=dt.timezone.utc), bytes(r.html), r.text)
+        for r in pages.collect()
+    ]
+    write_warc(str(warc_dir / "c0.warc.gz"), [(u, t, h) for u, t, h, _ in src[:40]])
+    write_warc(str(warc_dir / "c1.warc.gz"), [(u, t, h) for u, t, h, _ in src[40:80]])
+
+    stream_extract_warc(spark, str(warc_dir), out_dir, ckpt)
+    got1 = {r.url: r.extracted_text for r in spark.read.parquet(out_dir).collect()}
+    want = {u: t for u, _, _, t in src}
+    assert len(got1) == 80 and all(got1[u] == want[u] for u in got1)
+
+    # a third archive lands; re-run drains ONLY it
+    write_warc(str(warc_dir / "c2.warc.gz"), [(u, t, h) for u, t, h, _ in src[80:]])
+    stream_extract_warc(spark, str(warc_dir), out_dir, ckpt)
+    out = spark.read.parquet(out_dir)
+    assert out.count() == len(src)  # no re-processing of c0/c1
+    got2 = {r.url: r.extracted_text for r in out.collect()}
+    assert got2 == want  # byte-identical, streaming == batch ground truth
