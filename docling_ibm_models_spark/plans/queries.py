@@ -5879,7 +5879,7 @@ _WINDOW_PRIORITY = [
     # -- the 40 with no round-3 driver row (source-registration order kept) --
     "iou_match_join",
     "warc_extract_match",
-    "reading_order_assembly", "caption_link_adjacency", "extract_match",
+    "crawl_snapshot_diff", "corpus_cdx_surt", "extract_match",
     "pipeline_layout_clusters", "pipeline_doc_assembly",
     "pipeline_figure_classes", "pipeline_code_formula",
     "pipeline_table_cells", "pipeline_reading_order", "pipeline_media_meta",
@@ -5903,11 +5903,14 @@ _WINDOW_PRIORITY = [
     #    col_median_snap (r2 green + direct parity vs the reference
     #    post_processor), and — for the three late round-4 additions above —
     #    spatial_iopdf_join / band_orphan_join / dense_rank_compaction /
-    #    window_top1_match (all r2 driver-green, unchanged since, and
-    #    parity-tested against the imported reference modules; the last
-    #    ceded to warc_extract_match, the flagship's WARC-on-ramp variant).
-    #    Every name here either has no driver row in any round or changed
-    #    materially since its last green row --
+    #    window_top1_match / reading_order_assembly / caption_link_adjacency
+    #    (all r2 driver-green, unchanged since, and parity-tested against
+    #    the imported reference modules) made room for the round-4
+    #    additions (warc_extract_match, crawl_snapshot_diff,
+    #    corpus_cdx_surt, the three late corpus queries). Every name here
+    #    either has no driver row in any round or changed materially since
+    #    its last green row; with this window, after round 4 EVERY
+    #    registered query has had a driver-verified row in some round --
 ]
 
 
