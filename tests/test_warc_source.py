@@ -270,3 +270,40 @@ def test_stream_extract_warc_exactly_once_per_archive(spark, tmp_path):
     assert out.count() == len(src)  # no re-processing of c0/c1
     got2 = {r.url: r.extracted_text for r in out.collect()}
     assert got2 == want  # byte-identical, streaming == batch ground truth
+
+
+def test_warc_round_trip_property():
+    """Property: any (url, ts, body-bytes) list round-trips through every
+    compression layout — including bodies containing WARC headers, CRLF
+    runs, gzip magic, NULs, and non-UTF8 bytes."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    url_st = st.text(
+        alphabet=st.characters(min_codepoint=33, max_codepoint=126, exclude_characters="\r\n"),
+        min_size=1,
+        max_size=40,
+    ).map(lambda s: "https://h.example/" + s)
+    body_st = st.one_of(
+        st.binary(min_size=0, max_size=300),
+        st.just(b"WARC/1.0\r\nContent-Length: 4\r\n\r\nfake\r\n\r\n"),
+        st.just(b"\x1f\x8b\x08\x00 gzip magic inside body \x00\x00"),
+        st.just(b"</html\n\n<html>embedded blank lines\r\n\r\nmore"),
+    )
+    ts_st = st.integers(min_value=0, max_value=2**31 - 1).map(
+        lambda s: dt.datetime(2020, 1, 1, tzinfo=dt.timezone.utc) + dt.timedelta(seconds=s % (5 * 365 * 86400))
+    )
+    recs_st = st.lists(st.tuples(url_st, ts_st, body_st), min_size=0, max_size=8)
+
+    @settings(max_examples=40, deadline=None)
+    @given(recs=recs_st, comp=st.sampled_from(["record", "file", "none"]))
+    def check(recs, comp):
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as td:
+            p = os.path.join(td, "x.warc")
+            write_warc(p, recs, compression=comp)
+            rows = list(warc_records_to_rows("x", open(p, "rb").read()))
+        assert [(r[0], r[1], r[2]) for r in rows] == recs
+
+    check()
