@@ -754,11 +754,7 @@ def main() -> None:
 
     scaling, detail = finalize_scaling(pairs, small, big)
     if exec_pairs:
-        ex_eff = round(
-            min(p["wall_small"] for p in exec_pairs)
-            / (4 * min(p["wall_big"] for p in exec_pairs)),
-            4,
-        )
+        ex_eff = round(_exec_capability(), 4)
         detail["executor_pairs"] = exec_pairs
         detail["executor_pages"] = exec_n
         scaling["executors"] = {
@@ -776,8 +772,11 @@ def main() -> None:
     detail["query_walls"] = extra
     detail["skew_probe"] = skew
     # determinism across parallelism levels: identical total output chars
-    all_chars = {c for p in pairs for c in p["chars"]} | {r["chars"] for r in fulls}
-    identical_outputs = len(all_chars) == 1
+    # WITHIN each workload (the scaling pairs run the 4x workload, the
+    # full-machine runs the headline one — their totals differ by design)
+    pair_chars = {c for p in pairs for c in p["chars"]}
+    full_chars = {r["chars"] for r in fulls}
+    identical_outputs = len(pair_chars) == 1 and len(full_chars) == 1
 
     queries = {
         "extract_local_small": round(min(p["wall_small"] for p in pairs), 2),
@@ -789,6 +788,7 @@ def main() -> None:
     scaling["cores_full"] = CPUS
     scaling["pages_per_sec_full"] = round(thr_full, 1)
     scaling["identical"] = identical_outputs
+    scaling["pages"] = scale_n  # the scaling/executor workload (pairs' walls)
     result = {
         "metric": "pages_per_sec_extraction",
         "value": round(thr_full, 2),

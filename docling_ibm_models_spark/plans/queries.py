@@ -83,6 +83,26 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
+# Canonical synthetic url of a documents row (pages_source.render_page's
+# formula) — ONE spelling shared by every query/oracle that reconstructs it.
+_URL_SQL = (
+    "'https://' || source || '.example.org/' || lang || '/doc-' "
+    "|| lpad(doc_id::VARCHAR, 8, '0') || '-0'"
+)
+
+
+def _url_col():
+    return F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.org/"),
+        F.col("lang"),
+        F.lit("/doc-"),
+        F.lpad(F.col("doc_id").cast("string"), 8, "0"),
+        F.lit("-0"),
+    )
+
+
 # ===========================================================================
 # 1. Relational core (engine breadth: agg / join / window over TPC-H tables)
 # ===========================================================================
@@ -2772,9 +2792,8 @@ def caption_link_adjacency(spark, sf_dir):
 
 @register(
     "extract_match",
-    oracle="""
-    SELECT 'https://' || source || '.example.org/' || lang || '/doc-'
-             || lpad(doc_id::VARCHAR, 8, '0') || '-0' AS url,
+    oracle=f"""
+    SELECT {_URL_SQL} AS url,
            lang,
            1 AS is_match
     FROM documents
@@ -2825,9 +2844,8 @@ def extract_match(spark, sf_dir):
 
 @register(
     "warc_extract_match",
-    oracle="""
-    SELECT 'https://' || source || '.example.org/' || lang || '/doc-'
-             || lpad(doc_id::VARCHAR, 8, '0') || '-0' AS url,
+    oracle=f"""
+    SELECT {_URL_SQL} AS url,
            lang,
            1 AS is_match
     FROM documents
@@ -5747,24 +5765,6 @@ def corpus_url_canonicalize(spark, sf_dir):
             F.count(F.lit(1)).over(Window.partitionBy("canon_url")),
         )
         .orderBy("doc_id")
-    )
-
-
-_URL_SQL = (
-    "'https://' || source || '.example.org/' || lang || '/doc-' "
-    "|| lpad(doc_id::VARCHAR, 8, '0') || '-0'"
-)
-
-
-def _url_col():
-    return F.concat(
-        F.lit("https://"),
-        F.col("source"),
-        F.lit(".example.org/"),
-        F.col("lang"),
-        F.lit("/doc-"),
-        F.lpad(F.col("doc_id").cast("string"), 8, "0"),
-        F.lit("-0"),
     )
 
 

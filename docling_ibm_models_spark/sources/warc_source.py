@@ -138,32 +138,51 @@ def _iso(ts: _dt.datetime) -> str:
 # ---------------------------------------------------------------------------
 
 
+# decompression granularity: peak parser memory is one chunk + one
+# record, for ALL three layouts (a whole-file-gzip member would otherwise
+# inflate the entire 3-5x-decompressed archive into one bytes object)
+_DECOMP_CHUNK = 4 << 20
+
+
 def _iter_decompressed(raw: bytes) -> Iterator[tuple[bytes, int]]:
     """Yield (decompressed_chunk, compressed_offset_of_member). Plain input
     yields itself once at offset 0. Gzip input is walked member by member
-    (``decompressobj.unused_data`` marks the next member), so memory holds
-    one member's output at a time — the property that makes 1 GB CC
-    archives parseable inside a small executor heap."""
+    (``decompressobj.unused_data`` marks the next member) in bounded
+    ``_DECOMP_CHUNK`` slices (``decompress(data, max_length)`` +
+    ``unconsumed_tail``) — the property that makes 1 GB CC archives
+    parseable inside a small executor heap regardless of member size.
+    A truncated/corrupt member (torn upload, bad disk block) stops the
+    walk: records already parsed survive, the damaged tail is dropped —
+    a single bad archive must cost its tail, not the whole task."""
     if not raw.startswith(_GZIP_MAGIC):
         yield raw, 0
         return
     pos = 0
+    n = len(raw)
     view = memoryview(raw)
-    while pos < len(raw) and raw[pos : pos + 2] == _GZIP_MAGIC:
+    while pos < n and raw[pos : pos + 2] == _GZIP_MAGIC:
         obj = _zlib.decompressobj(wbits=31)
-        try:
-            out = obj.decompress(view[pos:])
-        except _zlib.error:
-            # truncated/corrupt member (torn upload, bad disk block): keep
-            # every record already parsed, drop the damaged tail — a single
-            # bad archive must cost its tail records, not the whole task
-            # (at 100k-archive scale a job-killing parse is unacceptable)
+        feed: bytes | memoryview = view[pos:]
+        corrupt = False
+        while True:
+            try:
+                out = obj.decompress(feed, _DECOMP_CHUNK)
+            except _zlib.error:
+                corrupt = True
+                break
+            if out:
+                yield out, pos
+            if obj.eof:
+                break
+            feed = obj.unconsumed_tail
+            if not feed:
+                break  # truncated member: input exhausted before the trailer
+        if corrupt or not obj.eof:
             break
-        consumed = len(raw) - pos - len(obj.unused_data)
-        yield out, pos
-        pos += consumed
+        consumed = n - pos - len(obj.unused_data)
         if consumed <= 0:  # corrupt trailer: stop rather than spin
             break
+        pos += consumed
 
 
 def iter_warc_records(raw: bytes) -> Iterator[tuple[dict[str, str], bytes, int]]:
@@ -188,17 +207,48 @@ def iter_warc_records(raw: bytes) -> Iterator[tuple[dict[str, str], bytes, int]]
         while True:
             got = _parse_one(buf)
             if got is None:
+                # incomplete record: wait for more input. If nothing in the
+                # buffer can ever start a record, keep only a 4-byte tail
+                # (b"WARC/" could straddle the chunk boundary) so junk runs
+                # never accumulate.
+                if len(buf) > 8 and buf.find(b"WARC/") < 0:
+                    drop = len(buf) - 4
+                    del buf[:drop]
+                    consumed_total += drop
                 break
-            headers, block, consumed = got
-            while len(marks) > 1 and marks[1][0] <= consumed_total:
+            if got[0] == "bad":
+                # malformed header at the front (unparseable/missing
+                # Content-Length): resync at the next candidate record
+                # start instead of stalling — one damaged record must cost
+                # itself, not every record after it (and an un-advancing
+                # buffer would otherwise accumulate the whole archive)
+                nxt = buf.find(b"WARC/", got[1])
+                drop = nxt if nxt >= 0 else max(got[1], len(buf) - 4)
+                del buf[:drop]
+                consumed_total += drop
+                if nxt < 0:
+                    break
+                continue
+            _, headers, block, start, consumed = got
+            rec_pos = consumed_total + start
+            while len(marks) > 1 and marks[1][0] <= rec_pos:
                 marks.popleft()
-            yield headers, block, (marks[0][1] if is_gz else consumed_total)
+            yield headers, block, (marks[0][1] if is_gz else rec_pos)
             del buf[:consumed]
             consumed_total += consumed
 
 
-def _parse_one(buf: bytearray) -> tuple[dict[str, str], bytes, int] | None:
-    """Parse one complete record from the front of ``buf`` or return None."""
+def _parse_one(
+    buf: bytearray,
+) -> tuple[str, dict[str, str], bytes, int, int] | tuple[str, int] | None:
+    """Parse one complete record from the front of ``buf``.
+
+    Returns ``("ok", headers, block, start, consumed)`` for a parsed
+    record, ``None`` when more input is needed (incomplete header or
+    block), or ``("bad", resume_pos)`` when the record at the front has a
+    complete header but no parseable Content-Length — the caller resyncs
+    at the next candidate start instead of stalling.
+    """
     start = buf.find(b"WARC/")
     if start < 0:
         return None
@@ -219,7 +269,7 @@ def _parse_one(buf: bytearray) -> tuple[dict[str, str], bytes, int] | None:
     try:
         length = int(headers.get("content-length", ""))
     except ValueError:
-        return None
+        return ("bad", start + 5)
     block_start = hdr_end + sep
     if len(buf) < block_start + length:
         return None  # need more decompressed input
@@ -228,7 +278,7 @@ def _parse_one(buf: bytearray) -> tuple[dict[str, str], bytes, int] | None:
     end = block_start + length
     while end < len(buf) and buf[end] in (0x0D, 0x0A):
         end += 1
-    return headers, block, end
+    return ("ok", headers, block, start, end)
 
 
 def _http_body(block: bytes) -> bytes:
@@ -269,12 +319,16 @@ def warc_records_to_rows(
         ts_raw = headers.get("warc-date")
         ts = None
         if ts_raw:
-            try:
-                ts = _dt.datetime.strptime(ts_raw, "%Y-%m-%dT%H:%M:%SZ").replace(
-                    tzinfo=_dt.timezone.utc
-                )
-            except ValueError:
-                ts = None
+            # WARC/1.0 whole seconds; WARC/1.1 allows fractional seconds
+            # (wget, warcprox, newer CC tooling emit them)
+            for fmt in ("%Y-%m-%dT%H:%M:%SZ", "%Y-%m-%dT%H:%M:%S.%fZ"):
+                try:
+                    ts = _dt.datetime.strptime(ts_raw, fmt).replace(
+                        tzinfo=_dt.timezone.utc
+                    )
+                    break
+                except ValueError:
+                    ts = None
         body = _http_body(block)
         yield url, ts, body, _sniff_lang(body, block[: len(block) - len(body)]), name, offset
 
@@ -343,7 +397,10 @@ def write_warc_archives(pages_df, out_dir: str) -> int:
                 recs.append((url, t, bytes(html)))
         if recs:
             comp = ["record", "file", "none"][pid % 3]
-            write_warc(os.path.join(out_dir, f"crawl-{pid:05d}.warc.gz"), recs, comp)
+            # extension tells the truth: gzip/zcat, CDX indexers, and
+            # pathGlobFilter patterns all key on it
+            ext = ".warc" if comp == "none" else ".warc.gz"
+            write_warc(os.path.join(out_dir, f"crawl-{pid:05d}{ext}"), recs, comp)
         yield pd.DataFrame({"archives": [1 if recs else 0]})
 
     n = (

@@ -39,22 +39,7 @@ def stream_extract(
     incremental batch: each invocation processes only files not yet
     committed to the checkpoint's file log."""
     pages = spark.readStream.schema(schemas.PAGES).parquet(pages_dir)
-    extracted = (
-        pages.withColumn("partition_id", F.lit(0))
-        .select("url", "lang", "html", "partition_id")
-        .mapInPandas(_extract_batches, schema=_extract_schema())
-        .drop("wall_s")
-    )
-    q = (
-        extracted.writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    if await_termination:
-        q.awaitTermination()
-    return q
+    return _run_extract_stream(pages, out_dir, checkpoint_dir, await_termination)
 
 
 def stream_extract_warc(
@@ -89,6 +74,15 @@ def stream_extract_warc(
     pages = archives.select("path", "content").mapInPandas(
         _parse_archive_batches, PAGES_FROM_WARC_SCHEMA
     )
+    return _run_extract_stream(pages, out_dir, checkpoint_dir, await_termination)
+
+
+def _run_extract_stream(
+    pages: DataFrame, out_dir: str, checkpoint_dir: str, await_termination: bool
+):
+    """Shared tail of every extraction stream: kernel -> parquet sink with
+    checkpoint, AvailableNow drain. One definition so the parquet and WARC
+    on-ramps can never diverge in sink semantics."""
     extracted = (
         pages.withColumn("partition_id", F.lit(0))
         .select("url", "lang", "html", "partition_id")

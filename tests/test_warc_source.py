@@ -307,3 +307,69 @@ def test_warc_round_trip_property():
         assert [(r[0], r[1], r[2]) for r in rows] == recs
 
     check()
+
+
+def test_malformed_content_length_resyncs(tmp_path):
+    """A record whose Content-Length is garbage costs only itself: the
+    parser resyncs at the next record instead of stalling (and the buffer
+    keeps draining — no unbounded accumulation)."""
+    p = str(tmp_path / "bad.warc")
+    recs = _recs(7)
+    write_warc(p, recs, compression="none")
+    raw = open(p, "rb").read()
+    # corrupt response1's WARC-level Content-Length. Each response holds
+    # TWO "Content-Length:" headers (WARC record + inner HTTP block); the
+    # find sequence is [warcinfo-WARC, resp0-WARC, resp0-HTTP, resp1-WARC]
+    anchor = b"Content-Length: "
+    idx = -1
+    for _ in range(4):
+        idx = raw.find(anchor, idx + 1)
+    bad = raw[:idx] + b"Content-Length: xx" + raw[idx + len(anchor) + 3 :]
+    rows = list(warc_records_to_rows("bad", bad))
+    got = [r[0] for r in rows]
+    want = [u for u, _, _ in recs]
+    assert want[0] in got and set(want[2:]).issubset(set(got))
+    assert want[1] not in got  # only the damaged record is lost
+
+
+def test_warc11_fractional_second_dates():
+    body = b"<html>x</html>"
+    block = b"HTTP/1.1 200 OK\r\n\r\n" + body
+    rec = (
+        b"WARC/1.1\r\n"
+        b"WARC-Type: response\r\n"
+        b"WARC-Target-URI: https://f.example/x\r\n"
+        b"WARC-Date: 2024-03-05T12:00:07.123456Z\r\n"
+        + f"Content-Length: {len(block)}".encode()
+        + b"\r\n\r\n"
+        + block
+        + b"\r\n\r\n"
+    )
+    rows = list(warc_records_to_rows("f", rec))
+    assert rows[0][1] == TS0.replace(microsecond=123456)
+
+
+def test_archive_extension_matches_compression(spark, tmp_path):
+    """write_warc_archives names plain archives .warc and gzip ones
+    .warc.gz — extension-keyed consumers (zcat, pathGlobFilter) must not
+    be lied to."""
+    import glob
+    import gzip
+
+    from docling_ibm_models_spark.sources.pages_source import pages_from_documents
+    from docling_ibm_models_spark.sources.warc_source import write_warc_archives
+
+    out = str(tmp_path / "arch")
+    pages = pages_from_documents(spark, SF_SMALL, parallelism=6, max_doc_id=60)
+    write_warc_archives(pages.repartition(6, "url"), out)
+    names = sorted(glob.glob(f"{out}/*"))
+    assert names
+    for f in names:
+        raw = open(f, "rb").read(2)
+        if f.endswith(".warc.gz"):
+            assert raw == b"\x1f\x8b"
+        else:
+            assert f.endswith(".warc") and raw != b"\x1f\x8b"
+        # and gzip tooling agrees with the extension
+        if f.endswith(".gz"):
+            gzip.GzipFile(f).read(16)
