@@ -47,11 +47,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB oracle SQL per query (same parquet views). Keys absent here
-    fall back to the driver's rows-only check — currently exactly one:
-    pipeline_table_profile (wall-clock timings, inherently oracle-free).
-    pipeline_reading_order gained a pinned golden-signature oracle in
-    round 3 (same mechanism as the other pipeline stages)."""
+    """DuckDB oracle SQL per query (same parquet views). Every registered
+    query has an oracle as of round 5: pipeline_table_profile now returns
+    its deterministic profile dimensions (per-section call counts) checked
+    against a pinned VALUES literal — wall-clock sums moved to
+    BENCH_DETAIL.json where non-determinism belongs."""
     from docling_ibm_models_spark.plans.queries import ORACLES
 
     return dict(ORACLES)

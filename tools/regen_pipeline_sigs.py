@@ -34,6 +34,23 @@ def main():
         vals[name] = (int(row["n_rows"]), str(row["sig"]))
         print(name, vals[name])
 
+    # _PINNED_PROFILE: deterministic (section, n_calls, n_tables) rows
+    prof_rows = Q.QUERIES["pipeline_table_profile"](spark, SF).collect()
+    values = ", ".join(
+        f"('{r['section']}', {int(r['n_calls'])}, {int(r['n_tables'])})"
+        for r in prof_rows
+    )
+    profile_literal = (
+        '_PINNED_PROFILE = (\n    "(VALUES "\n'
+        + "".join(
+            f'    "(\'{r["section"]}\', {int(r["n_calls"])}, {int(r["n_tables"])})'
+            + (', "\n' if i < len(prof_rows) - 1 else '"\n')
+            for i, r in enumerate(prof_rows)
+        )
+        + '    ") AS t(section, n_calls, n_tables)"\n)'
+    )
+    print("profile VALUES:", values)
+
     src = QUERIES_PY.read_text()
     for name, (n, sig) in vals.items():
         src = re.sub(
@@ -41,6 +58,12 @@ def main():
             rf'\g<1>({n}, "{sig}")',
             src,
         )
+    src = re.sub(
+        r"_PINNED_PROFILE = \(\n(?:.*\n)*?\)",
+        profile_literal,
+        src,
+        count=1,
+    )
     QUERIES_PY.write_text(src)
     print("rewrote", QUERIES_PY)
 
