@@ -263,6 +263,26 @@ _MASTER_RE = re.compile(
 # elements whose content is raw text (no nested tags)
 _RAW_TEXT = {"script", "style", "textarea", "title", "noscript", "template"}
 
+# Case-mismatched raw-text closers (</SCRIPT> for <script>): one precompiled
+# case-insensitive regex per tag. The previous fallback recomputed
+# html.lower() per miss — worst-case quadratic on documents with many
+# mismatched closers, and Unicode length-changing lowercasing could misalign
+# the offset reused against the original string (ADVICE r4). A regex search
+# scans forward from pos on the ORIGINAL string: offsets always valid,
+# amortized linear across a document.
+_RAW_CLOSE_RE = {t: re.compile(f"</{t}", re.IGNORECASE) for t in _RAW_TEXT}
+
+
+def _find_raw_close(html: str, tag: str, pos: int) -> int:
+    """Index of the next ``</tag`` at/after ``pos``, any letter case; -1 if
+    absent. Exact-case ``str.find`` first (the overwhelmingly common case,
+    C fast path), case-insensitive regex only on miss."""
+    close = html.find(f"</{tag}", pos)
+    if close >= 0:
+        return close
+    m = _RAW_CLOSE_RE[tag].search(html, pos)
+    return m.start() if m is not None else -1
+
 
 def _scan_events(html: str):
     """Yield ('start'|'end'|'text', value, attrblob) events."""
@@ -298,10 +318,7 @@ def _scan_events(html: str):
                 continue
             yield "start", tag, blob
             if tag in _RAW_TEXT:
-                close = html.find(f"</{tag}", pos)
-                if close < 0:
-                    close2 = html.lower().find(f"</{tag}", pos)
-                    close = close2
+                close = _find_raw_close(html, tag, pos)
                 if close < 0:
                     pos = n
                 else:
@@ -441,9 +458,7 @@ def _scan_blocks(html: str) -> list[Block]:
             if tag in _RAW_TEXT:
                 # tokenizer-level skip of raw content (and its end tag),
                 # exactly like _scan_events does regardless of drop state
-                close = find(f"</{tag}", pos)
-                if close < 0:
-                    close = html.lower().find(f"</{tag}", pos)
+                close = _find_raw_close(html, tag, pos)
                 if close < 0:
                     pos = n
                 else:
@@ -454,9 +469,7 @@ def _scan_blocks(html: str) -> list[Block]:
         if tag in _DROP_TAGS:
             drop = 1
             if tag in _RAW_TEXT:
-                close = find(f"</{tag}", pos)
-                if close < 0:
-                    close = html.lower().find(f"</{tag}", pos)
+                close = _find_raw_close(html, tag, pos)
                 if close < 0:
                     pos = n
                 else:
@@ -494,9 +507,7 @@ def _scan_blocks(html: str) -> list[Block]:
         if tag in _RAW_TEXT:
             # unreachable for the six current raw-text tags (all dropped
             # above) — kept for lexicon robustness if the sets ever diverge
-            close = find(f"</{tag}", pos)
-            if close < 0:
-                close = html.lower().find(f"</{tag}", pos)
+            close = _find_raw_close(html, tag, pos)
             if close < 0:
                 pos = n
             else:

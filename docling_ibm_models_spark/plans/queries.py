@@ -65,12 +65,30 @@ def _materialize_scan(df: DataFrame, spark: SparkSession) -> DataFrame:
     final exchange-free stage of the plan being materialized; on a cluster
     the identical call targets the shared scratch FS (a job-scoped HDFS/S3
     prefix) instead of the driver-local tmpdir. Schema is re-applied on
-    read so zero-row results round-trip."""
+    read so zero-row results round-trip.
+
+    All materializations share ONE session-scoped scratch dir, removed at
+    interpreter exit (ADVICE r4: per-call mkdtemp leaked a full result
+    copy under /tmp per invocation across long sessions / repeated bench
+    runs); within the session each call gets a fresh subdir so concurrent
+    queries never collide."""
     import tempfile
 
-    path = tempfile.mkdtemp(prefix="dims_mat_") + "/out"
+    global _MAT_SCRATCH, _MAT_SEQ
+    if _MAT_SCRATCH is None:
+        import atexit
+        import shutil
+
+        _MAT_SCRATCH = tempfile.mkdtemp(prefix="dims_mat_")
+        atexit.register(shutil.rmtree, _MAT_SCRATCH, True)
+    _MAT_SEQ += 1
+    path = f"{_MAT_SCRATCH}/{_MAT_SEQ}/out"
     df.write.mode("overwrite").parquet(path)
     return spark.read.schema(df.schema).parquet(path)
+
+
+_MAT_SCRATCH: str | None = None
+_MAT_SEQ = 0
 
 
 def register(name: str, oracle: str | None = None):

@@ -130,6 +130,12 @@ def write_warc(
 
 
 def _iso(ts: _dt.datetime) -> str:
+    # A NAIVE datetime is treated as already-UTC: astimezone() alone would
+    # interpret it as host-local time and silently shift WARC-Date by the
+    # host's UTC offset (ADVICE r4 — write_warc_archives guarded this, but
+    # direct write_warc callers were exposed).
+    if ts.tzinfo is None:
+        ts = ts.replace(tzinfo=_dt.timezone.utc)
     return ts.astimezone(_dt.timezone.utc).strftime("%Y-%m-%dT%H:%M:%SZ")
 
 

@@ -106,3 +106,40 @@ def test_inline_scanner_raw_text_and_nesting(frags):
         "<div class='sidebar'><textarea><p>ignored</p></textarea></div>"
     )
     assert _block_key(_scan_blocks(html)) == _block_key(_scan_blocks_dispatch(html))
+
+
+def test_case_mismatched_raw_text_closer_is_skipped_linearly():
+    """</SCRIPT> closing <script> (ADVICE r4): the fallback must find the
+    mismatched closer WITHOUT recomputing html.lower() per element —
+    correctness checked here, the linearity by construction (the regex
+    scans forward from pos on the original string). Offsets must stay
+    valid even when the document contains characters whose lower() changes
+    length (U+0130 lowercases to 2 chars — the old lower().find offset
+    would misalign everything after it)."""
+    from docling_ibm_models_spark.functions.html_extract import (
+        _scan_blocks,
+        _scan_blocks_dispatch,
+        extract_main_content,
+    )
+
+    parts = ["<p>İstanbul intro</p>"]
+    for i in range(50):
+        parts.append(f"<script>var hidden{i} = '<p>not text</p>';</SCRIPT>")
+        parts.append(f"<p>visible paragraph {i} with enough words to keep</p>")
+    html = "".join(parts)
+    text, _ = extract_main_content(html)
+    assert "hidden" not in text and "not text" not in text
+    assert "visible paragraph 49" in text
+    assert _block_key(_scan_blocks(html)) == _block_key(_scan_blocks_dispatch(html))
+
+
+def test_unclosed_case_mismatched_raw_text_swallows_tail():
+    """No closer at all (any case): raw-text skip runs to end-of-document —
+    one terminal scan, not a quadratic cascade."""
+    from docling_ibm_models_spark.functions.html_extract import (
+        _scan_blocks,
+        _scan_blocks_dispatch,
+    )
+
+    html = "<p>kept words before the style sink</p><style>p { color: red }"
+    assert _block_key(_scan_blocks(html)) == _block_key(_scan_blocks_dispatch(html))

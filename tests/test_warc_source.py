@@ -373,3 +373,31 @@ def test_archive_extension_matches_compression(spark, tmp_path):
         # and gzip tooling agrees with the extension
         if f.endswith(".gz"):
             gzip.GzipFile(f).read(16)
+
+
+def test_naive_datetime_written_as_utc(tmp_path):
+    """A NAIVE timestamp passed to write_warc is treated as UTC, never
+    shifted by the host zone (ADVICE r4: astimezone() on a naive datetime
+    interprets it as host-local time)."""
+    import os
+    import time as _time
+
+    naive = dt.datetime(2025, 3, 1, 12, 0, 0)  # no tzinfo
+    aware = naive.replace(tzinfo=dt.timezone.utc)
+    old_tz = os.environ.get("TZ")
+    os.environ["TZ"] = "America/New_York"  # UTC-5: a shift would be visible
+    _time.tzset()
+    try:
+        p1 = str(tmp_path / "naive.warc")
+        p2 = str(tmp_path / "aware.warc")
+        write_warc(p1, [("https://ex.com/a", naive, b"<p>x</p>")], compression="none")
+        write_warc(p2, [("https://ex.com/a", aware, b"<p>x</p>")], compression="none")
+        b1, b2 = open(p1, "rb").read(), open(p2, "rb").read()
+        assert b"2025-03-01T12:00:00Z" in b1
+        assert b1 == b2
+    finally:
+        if old_tz is None:
+            os.environ.pop("TZ", None)
+        else:
+            os.environ["TZ"] = old_tz
+        _time.tzset()
