@@ -2716,20 +2716,28 @@ def dense_rank_compaction(spark, sf_dir):
     """A11 — row/col index compaction (tf_predictor.py:502-564): distinct
     raw indices → gap-free dense ranks.
 
-    The global (unpartitioned) window is deliberate and safe: it runs
-    AFTER the distinct(), whose cardinality is bounded by the raw index
-    domain (a single table's row/col indices — ≤ a few hundred; 37 here),
-    not by the input row count. In the full pipeline this compaction is
-    applied per table inside the grouped UDF (response_gen.
-    compact_row_col_indexes), so no global window ever sees large data."""
-    from pyspark.sql import Window
-
+    The raw index domain is bounded (a single table's row/col indices — ≤
+    a few hundred; 37 here), so the dense rank is computed WITHOUT any
+    window: distinct → collect_list into one sorted array (map-side
+    combined, bounded by the domain) → broadcast → array_position. No
+    single-partition WindowExec anywhere (round-5 fix: the old global
+    window was cardinality-safe but put a `WindowExec: No Partition
+    Defined` warning on every driver log). In the full pipeline this
+    compaction is applied per table inside the grouped UDF (response_gen.
+    compact_row_col_indexes), so no global operator ever sees large data."""
     li = _t(spark, sf_dir, "lineitem")
     distinct_ids = li.select(((F.col("l_partkey") % 37) * 3).alias("col_raw")).distinct()
-    return distinct_ids.select(
-        "col_raw",
-        (F.dense_rank().over(Window.orderBy("col_raw")) - 1).alias("col_compact"),
-    ).orderBy("col_raw")
+    ranks = distinct_ids.agg(F.array_sort(F.collect_list("col_raw")).alias("_arr"))
+    return (
+        distinct_ids.join(F.broadcast(ranks))
+        .select(
+            "col_raw",
+            (F.array_position(F.col("_arr"), F.col("col_raw")) - 1)
+            .cast("int")
+            .alias("col_compact"),
+        )
+        .orderBy("col_raw")
+    )
 
 
 @register(
@@ -2893,6 +2901,64 @@ def warc_extract_match(spark, sf_dir):
 
     wdir = cached_warc_dir(spark, sf_dir)
     extracted = doc_text_clean(extract_doc_text(pages_from_warc(spark, wdir)))
+    truth = cached_pages(spark, sf_dir).select("url", "text")
+    return (
+        extracted.join(truth, "url")
+        .select(
+            "url",
+            "lang",
+            (F.col("extracted_text") == F.col("text")).cast("int").alias("is_match"),
+        )
+        .orderBy("url")
+    )
+
+
+@register(
+    "warc_cdx_fetch",
+    oracle=f"""
+    SELECT {_URL_SQL} AS url,
+           lang,
+           1 AS is_match
+    FROM documents
+    WHERE {_h32_sql("(" + _URL_SQL + ")")} % 7 = 0
+    ORDER BY url
+    """,
+)
+def warc_cdx_fetch(spark, sf_dir):
+    """CDX offset READ-BACK — the closing of the loop the recorded member
+    offsets exist for (reference shape: sources/warc_source.py offsets ==
+    Common Crawl's CDX ``offset`` field): pull individual records out of
+    archives by ``(warc_file, warc_offset)`` WITHOUT scanning them.
+
+    Plan: seekable-layout archives (record-gzip + plain — whole-file gzip
+    cannot serve point fetches, which is why CC record-compresses) →
+    binaryFile scan builds the CDX index (in production the index is
+    already a table; the one scan here stands in for it) → deterministic
+    md5-hash sample of urls (~1/7) → ``fetch_warc_bodies``: repartition by
+    archive, offset-sorted seek-reads, one open per file per task → the
+    SAME extraction stage → byte-identity vs ground truth per url. The
+    seek-read == scan-read identity is exactly what a CDX index promises;
+    compressed bytes touched per fetch are asserted in
+    tests/test_warc_source.py (point fetch ≪ archive size)."""
+    from docling_ibm_models_spark.pipeline.extract import (
+        doc_text_clean,
+        extract_doc_text,
+    )
+    from docling_ibm_models_spark.sources.pages_source import cached_pages
+    from docling_ibm_models_spark.sources.warc_source import (
+        cached_warc_dir,
+        fetch_warc_bodies,
+        pages_from_warc,
+    )
+
+    wdir = cached_warc_dir(spark, sf_dir, layouts=("record", "none"))
+    cdx = (
+        pages_from_warc(spark, wdir)
+        .select("url", "warc_file", "warc_offset")
+        .where(_h32_spark(F.col("url")) % 7 == 0)
+    )
+    fetched = fetch_warc_bodies(cdx)
+    extracted = doc_text_clean(extract_doc_text(fetched))
     truth = cached_pages(spark, sf_dir).select("url", "text")
     return (
         extracted.join(truth, "url")
@@ -4084,17 +4150,21 @@ def events_skew_salted_join(spark, sf_dir):
     """,
 )
 def events_user_value_windows(spark, sf_dir):
-    """Window-function surface in one pass: rank / ntile / percent_rank /
-    lag / running sum over per-user purchase totals, all sharing ONE
-    window ordering — Catalyst evaluates the whole set in a single Window
-    operator after a single sort, no per-function re-shuffle. The
-    deterministic user_id tiebreak makes every function's output
-    total-order stable (the lag/ntile outputs would otherwise be
-    hash-order dependent). The global ordering is the test construct; at
-    10^12 users the same functions run per-partition-key (e.g. per
-    domain), which is the partitioned Window the engine uses elsewhere
-    (topk_orders_per_customer)."""
-    from pyspark.sql import Window
+    """Global window-function surface — rank / ntile / percent_rank / lag /
+    running sum over per-user purchase totals in ONE total order — executed
+    by the DISTRIBUTED global-order scan (operators/ordered_scan.py):
+    repartitionByRange on the order (one exchange, reused), per-partition
+    windows for the local values, per-partition stats recombined through a
+    broadcast theta self-join over the P-row stats frame. No
+    single-partition WindowExec anywhere in the plan (round-5 fix: the old
+    `Window.orderBy` put the whole leaderboard in one task — fine at test
+    cardinality, a one-task sort of the world at 10^12 users — and a
+    `WindowExec: No Partition Defined` warning on every driver log). The
+    deterministic user_id tiebreak makes the order total, which is the
+    operator's contract (rank == row_number)."""
+    from docling_ibm_models_spark.operators.ordered_scan import (
+        global_value_rank_scan,
+    )
 
     ev = _t(spark, sf_dir, "events")
     spend = (
@@ -4102,22 +4172,16 @@ def events_user_value_windows(spark, sf_dir):
         .groupBy("user_id")
         .agg(F.round(F.sum("value"), 2).alias("total"))
     )
-    w = Window.orderBy(F.col("total").desc(), "user_id")
-    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    return (
-        spend.select(
-            "user_id",
-            "total",
-            F.rank().over(w).alias("rnk"),
-            F.ntile(4).over(w).alias("quartile"),
-            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-            F.coalesce(
-                F.round(F.col("total") - F.lag("total").over(w), 2), F.lit(0.0)
-            ).alias("gap_to_prev"),
-            F.round(F.sum("total").over(wrun), 2).alias("running_total"),
-        )
-        .orderBy("rnk")
-    )
+    scanned = global_value_rank_scan(spend, "total", "user_id", n_tiles=4)
+    return scanned.select(
+        "user_id",
+        "total",
+        "rnk",
+        "quartile",
+        F.round("pct_rank", 6).alias("pct_rank"),
+        F.round("gap_to_prev", 2).alias("gap_to_prev"),
+        F.round("running_total", 2).alias("running_total"),
+    ).orderBy("rnk")
 
 
 @register(
@@ -5940,8 +6004,13 @@ _WINDOW_PRIORITY = [
     "corpus_url_blocklist", "corpus_cms_heavy_hitters",
     "corpus_curation_full", "corpus_sequence_packing", "domain_typosquat",
     "events_pivot_daily", "events_user_segments", "corpus_bigram_lm",
-    # -- queries new/modified this round — need a driver row --
-    "dedup_clusters", "dedup_minhash_verified", "tpch_q9_product_profit",
+    # -- queries new/modified this round (r5) — need a driver row.
+    #    warc_cdx_fetch is NEW (CDX offset read-back); dedup_clusters /
+    #    dedup_minhash_verified / link_pagerank share the reworked
+    #    session-scoped _materialize_scan; the two sequence-packing oracles
+    #    and pipeline_table_profile carry this round's oracle fixes --
+    "warc_cdx_fetch",
+    "dedup_clusters", "dedup_minhash_verified",
     "corpus_sequence_packing_stratified", "embedding_semdedup",
     "events_retention_cohorts", "events_funnel", "events_rolling_24h",
     "corpus_incremental_dedup", "dedup_substring_windows",
@@ -5955,9 +6024,10 @@ _WINDOW_PRIORITY = [
     #    (all r2 driver-green, unchanged since, and parity-tested against
     #    the imported reference modules) made room for the round-4
     #    additions (warc_extract_match, crawl_snapshot_diff,
-    #    corpus_cdx_surt, the three late corpus queries). Every name here
-    #    either has no driver row in any round or changed materially since
-    #    its last green row; with this window, after round 4 EVERY
+    #    corpus_cdx_surt, the three late corpus queries). Round 5 cedes
+    #    tpch_q9_product_profit (r4 green, unchanged) for warc_cdx_fetch.
+    #    Every name here either has no driver row in any round or changed
+    #    materially since its last green row; after round 4 EVERY
     #    registered query has had a driver-verified row in some round --
 ]
 

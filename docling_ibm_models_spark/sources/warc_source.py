@@ -313,6 +313,19 @@ def _sniff_lang(html: bytes, http_head: bytes) -> str | None:
     return m2.group(1).decode("ascii").lower() if m2 else None
 
 
+def _parse_warc_date(ts_raw: str | None) -> _dt.datetime | None:
+    if not ts_raw:
+        return None
+    # WARC/1.0 whole seconds; WARC/1.1 allows fractional seconds
+    # (wget, warcprox, newer CC tooling emit them)
+    for fmt in ("%Y-%m-%dT%H:%M:%SZ", "%Y-%m-%dT%H:%M:%S.%fZ"):
+        try:
+            return _dt.datetime.strptime(ts_raw, fmt).replace(tzinfo=_dt.timezone.utc)
+        except ValueError:
+            pass
+    return None
+
+
 def warc_records_to_rows(
     name: str, raw: bytes
 ) -> Iterator[tuple[str, _dt.datetime | None, bytes, str | None, str, int]]:
@@ -322,21 +335,155 @@ def warc_records_to_rows(
         if headers.get("warc-type") != "response":
             continue
         url = headers.get("warc-target-uri", "")
-        ts_raw = headers.get("warc-date")
-        ts = None
-        if ts_raw:
-            # WARC/1.0 whole seconds; WARC/1.1 allows fractional seconds
-            # (wget, warcprox, newer CC tooling emit them)
-            for fmt in ("%Y-%m-%dT%H:%M:%SZ", "%Y-%m-%dT%H:%M:%S.%fZ"):
-                try:
-                    ts = _dt.datetime.strptime(ts_raw, fmt).replace(
-                        tzinfo=_dt.timezone.utc
-                    )
-                    break
-                except ValueError:
-                    ts = None
+        ts = _parse_warc_date(headers.get("warc-date"))
         body = _http_body(block)
         yield url, ts, body, _sniff_lang(body, block[: len(block) - len(body)]), name, offset
+
+
+# ---------------------------------------------------------------------------
+# CDX offset read-back (random access — the point of recording offsets)
+# ---------------------------------------------------------------------------
+
+# refuse to buffer more than this for ONE record fetch: a hostile/corrupt
+# Content-Length must not make a point-fetch inflate a whole archive
+_MAX_FETCH_RECORD = 256 << 20
+
+
+# per-read granularity for point fetches: ~the compressed size of a typical
+# CC member (10-30 KiB), so one record usually costs 1-2 reads while a
+# megabyte-scale record still streams in bounded steps
+_FETCH_CHUNK = 32 * 1024
+
+
+def _read_record_from(f, offset: int, chunk: int = _FETCH_CHUNK):
+    """Read ONE WARC record from open file ``f`` at CDX ``offset``:
+    seek, then read forward ONLY until the record is complete — never the
+    rest of the archive. Returns ``(headers, block, compressed_bytes_read)``.
+
+    Supports the two seekable layouts: record-per-gzip-member (Common
+    Crawl's — ``offset`` is a member start) and uncompressed (``offset``
+    is the record's byte position). A whole-file-gzip archive is NOT
+    random-accessible (every record maps to member offset 0 — fetching
+    there returns the stream's first record); that is exactly why CC uses
+    the record-compressed layout, and why :func:`pages_from_warc` records
+    member offsets in the first place.
+    """
+    f.seek(offset)
+    first = f.read(max(chunk, 4))
+    if len(first) < 4:
+        raise ValueError(f"offset {offset}: past end of archive")
+    bytes_read = len(first)
+    buf = bytearray()
+    if first.startswith(_GZIP_MAGIC):
+        obj = _zlib.decompressobj(wbits=31)
+        pending: bytes = first
+        while True:
+            while pending:
+                buf += obj.decompress(pending, _DECOMP_CHUNK)
+                if len(buf) > _MAX_FETCH_RECORD:
+                    raise ValueError(f"offset {offset}: record exceeds fetch cap")
+                if obj.eof:
+                    break
+                pending = obj.unconsumed_tail
+            got = _parse_one(buf)
+            if got is not None and got[0] == "ok":
+                _, headers, block, start, _ = got
+                if start != 0:
+                    raise ValueError(f"offset {offset}: not a record start")
+                return headers, block, bytes_read
+            if got is not None and got[0] == "bad":
+                raise ValueError(f"offset {offset}: unparseable record header")
+            if obj.eof:
+                raise ValueError(f"offset {offset}: member ended mid-record")
+            pending = f.read(chunk)
+            if not pending:
+                raise ValueError(f"offset {offset}: archive truncated")
+            bytes_read += len(pending)
+    else:
+        buf += first
+        if not buf.startswith(b"WARC/"):
+            raise ValueError(f"offset {offset}: not a record start")
+        while True:
+            got = _parse_one(buf)
+            if got is not None and got[0] == "ok":
+                _, headers, block, start, _ = got
+                return headers, block, bytes_read
+            if got is not None and got[0] == "bad":
+                raise ValueError(f"offset {offset}: unparseable record header")
+            if len(buf) > _MAX_FETCH_RECORD:
+                raise ValueError(f"offset {offset}: record exceeds fetch cap")
+            data = f.read(chunk)
+            if not data:
+                raise ValueError(f"offset {offset}: archive truncated")
+            buf += data
+            bytes_read += len(data)
+
+
+def read_warc_record_at(path: str, offset: int) -> tuple[dict[str, str], bytes, int]:
+    """Fetch one record by ``(archive path, CDX offset)`` without scanning
+    the archive — seek + single-member decompress. Returns ``(headers,
+    block, compressed_bytes_read)``; ``compressed_bytes_read`` is the
+    evidence that only ~one record's worth of the file was touched."""
+    local = path[5:] if path.startswith("file:") else path
+    with open(local, "rb") as f:
+        return _read_record_from(f, offset)
+
+
+# fetched-record schema: the pages shape plus the read-cost evidence column
+FETCHED_FROM_CDX_SCHEMA = (
+    "url string, warc_ts timestamp, html binary, lang string, "
+    "warc_file string, warc_offset long, fetch_bytes long"
+)
+
+
+def fetch_warc_bodies(cdx_df):
+    """CDX index rows ``(warc_file, warc_offset, ...)`` → full records via
+    seek-read. The distributed shape for 'pull N documents out of a 100 TB
+    crawl by index': repartition by archive so each task opens each file
+    ONCE, sort within partitions by offset so seeks are forward-only
+    (object-store range reads coalesce), then one Arrow-batched fetch per
+    row — compressed bytes touched ≈ sum of the fetched records' member
+    sizes, not the archive sizes. url/warc_ts/lang are re-derived from the
+    FETCHED record (not trusted from the index), so downstream joins
+    verify the index points where it claims."""
+
+    def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["url", "warc_ts", "html", "lang", "warc_file", "warc_offset",
+                "fetch_bytes"]
+        handles: dict[str, object] = {}
+        try:
+            rows: list[tuple] = []
+            for pdf in batches:
+                for path, off in zip(pdf["warc_file"], pdf["warc_offset"]):
+                    local = path[5:] if path.startswith("file:") else path
+                    f = handles.get(local)
+                    if f is None:
+                        f = handles[local] = open(local, "rb")
+                    headers, block, nread = _read_record_from(f, int(off))
+                    body = _http_body(block)
+                    rows.append((
+                        headers.get("warc-target-uri", ""),
+                        _parse_warc_date(headers.get("warc-date")),
+                        body,
+                        _sniff_lang(body, block[: len(block) - len(body)]),
+                        path,
+                        int(off),
+                        nread,
+                    ))
+                    if len(rows) >= _CHUNK_ROWS:
+                        yield pd.DataFrame(rows, columns=cols)
+                        rows = []
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
+        finally:
+            for f in handles.values():
+                f.close()
+
+    return (
+        cdx_df.repartition("warc_file")
+        .sortWithinPartitions("warc_file", "warc_offset")
+        .mapInPandas(fetch, FETCHED_FROM_CDX_SCHEMA)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -380,12 +527,16 @@ def _parse_archive_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataF
             yield pd.DataFrame(rows, columns=cols)
 
 
-def write_warc_archives(pages_df, out_dir: str) -> int:
+def write_warc_archives(
+    pages_df, out_dir: str, layouts: tuple[str, ...] = ("record", "file", "none")
+) -> int:
     """Write a pages DataFrame ``(url, warc_ts, html, ...)`` as WARC
     archives, one per partition (the producer job CC itself runs: crawler
     shards → archives). Distributed — each task writes its own archive;
-    layouts cycle deterministically by partition id so consumers exercise
-    all three. Returns the number of archives written."""
+    ``layouts`` cycle deterministically by partition id so consumers
+    exercise every listed layout (pass ``("record", "none")`` for a
+    seekable-only corpus — the whole-file-gzip layout cannot serve CDX
+    point fetches). Returns the number of archives written."""
     import os
 
     from pyspark import TaskContext
@@ -402,7 +553,7 @@ def write_warc_archives(pages_df, out_dir: str) -> int:
                     t = t.replace(tzinfo=_dt.timezone.utc)
                 recs.append((url, t, bytes(html)))
         if recs:
-            comp = ["record", "file", "none"][pid % 3]
+            comp = layouts[pid % len(layouts)]
             # extension tells the truth: gzip/zcat, CDX indexers, and
             # pathGlobFilter patterns all key on it
             ext = ".warc" if comp == "none" else ".warc.gz"
@@ -419,10 +570,15 @@ def write_warc_archives(pages_df, out_dir: str) -> int:
     return int(n or 0)
 
 
-def cached_warc_dir(spark, sf_dir: str, files: int = 8) -> str:
+def cached_warc_dir(
+    spark,
+    sf_dir: str,
+    files: int = 8,
+    layouts: tuple[str, ...] = ("record", "file", "none"),
+) -> str:
     """Materialize the synthetic pages rows as WARC archives under /tmp,
-    cached by (sf_dir, files, generator+this module's hash) — the local
-    stand-in for 'the crawl archives already sit in object storage'."""
+    cached by (sf_dir, files, layouts, generator+this module's hash) — the
+    local stand-in for 'the crawl archives already sit in object storage'."""
     import hashlib
     import os
     import tempfile
@@ -435,12 +591,13 @@ def cached_warc_dir(spark, sf_dir: str, files: int = 8) -> str:
     # fold the pages cache key in: a pages-generator change must invalidate
     # the derived archives too
     pages_key = os.path.basename(os.path.dirname(pages_path))
-    key = f"{pages_key}-f{files}-{mod_hash}"
+    lay = "".join(s[0] for s in layouts)  # rfn / rn ...
+    key = f"{pages_key}-f{files}-{lay}-{mod_hash}"
     out_dir = os.path.join(tempfile.gettempdir(), "bench_warc_cache", key)
     done = os.path.join(out_dir, "_SUCCESS")
     if not os.path.exists(done):
         pages = spark.read.parquet(pages_path).repartition(files, "url")
-        write_warc_archives(pages, out_dir)
+        write_warc_archives(pages, out_dir, layouts=layouts)
         with open(done, "w") as f:
             f.write("ok")
     return out_dir

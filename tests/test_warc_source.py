@@ -401,3 +401,109 @@ def test_naive_datetime_written_as_utc(tmp_path):
         else:
             os.environ["TZ"] = old_tz
         _time.tzset()
+
+
+# ---------------------------------------------------------------------------
+# CDX offset read-back (round 5): seek-read == scan-read, without scanning
+# ---------------------------------------------------------------------------
+
+
+def _big_recs(n: int, body_kb: int = 8) -> list[tuple[str, dt.datetime, bytes]]:
+    import hashlib
+
+    def filler(i: int) -> str:  # incompressible: gzip can't shrink hex digests
+        out = []
+        for j in range(body_kb * 1024 // 64):
+            out.append(hashlib.sha256(f"{i}:{j}".encode()).hexdigest())
+        return " ".join(out)
+
+    return [
+        (
+            f"https://big{i}.example.com/p",
+            TS0 + dt.timedelta(seconds=i),
+            f"<html><body><p>record {i} {filler(i)}</p></body></html>".encode(),
+        )
+        for i in range(n)
+    ]
+
+
+@pytest.mark.parametrize("compression", ["record", "none"])
+def test_cdx_fetch_identity_and_byte_evidence(tmp_path, compression):
+    """read_warc_record_at must return the IDENTICAL record the sequential
+    scan yields at that offset (the identity a CDX index promises), while
+    touching only ~one record's worth of the archive — the point of
+    recording member offsets. The archive here is the multi-record layout
+    of a real CC file (hundreds of records; a 1 GB archive only scales the
+    record count, not the per-fetch cost)."""
+    from docling_ibm_models_spark.sources.warc_source import read_warc_record_at
+
+    ext = ".warc" if compression == "none" else ".warc.gz"
+    p = str(tmp_path / f"cc{ext}")
+    recs = _big_recs(400)
+    write_warc(p, recs, compression=compression)
+    size = os.path.getsize(p)
+    raw = open(p, "rb").read()
+    scan = [
+        (h.get("warc-target-uri"), b, off)
+        for h, b, off in iter_warc_records(raw)
+        if h.get("warc-type") == "response"
+    ]
+    assert len(scan) == 400
+    # fetch every 37th record + the very last one by its recorded offset
+    for url, block, off in scan[::37] + [scan[-1]]:
+        headers, got_block, nread = read_warc_record_at(p, off)
+        assert headers.get("warc-target-uri") == url
+        assert got_block == block
+        # byte-count evidence: a point fetch reads ~one record (<=256 KiB
+        # here incl. the read-ahead chunk), never a meaningful fraction
+        # of the archive
+        assert nread <= 256 * 1024
+        assert nread < size * 0.1, (nread, size)
+
+
+def test_cdx_fetch_rejects_non_record_offsets(tmp_path):
+    from docling_ibm_models_spark.sources.warc_source import read_warc_record_at
+
+    p = str(tmp_path / "cc.warc.gz")
+    write_warc(p, _big_recs(5), compression="record")
+    raw = open(p, "rb").read()
+    offs = [off for _, _, off in iter_warc_records(raw)]
+    with pytest.raises(ValueError):
+        read_warc_record_at(p, offs[1] + 3)  # mid-member: not a gzip start
+    with pytest.raises(ValueError):
+        read_warc_record_at(p, len(raw) + 10)  # past EOF
+
+
+def test_fetch_warc_bodies_spark_stage(tmp_path, spark):
+    """Distributed fetch: CDX rows (warc_file, warc_offset) → bodies via
+    seek-read, url/ts re-derived from the FETCHED record; rows must equal
+    the scan-read rows for the sampled offsets across BOTH seekable
+    layouts."""
+    from docling_ibm_models_spark.sources.warc_source import (
+        fetch_warc_bodies,
+        warc_records_to_rows,
+    )
+
+    paths = []
+    for i, comp in enumerate(["record", "none", "record"]):
+        ext = ".warc" if comp == "none" else ".warc.gz"
+        p = str(tmp_path / f"a{i}{ext}")
+        write_warc(p, _recs(9, salt=f"s{i}-"), compression=comp)
+        paths.append(p)
+    expected = {}
+    cdx_rows = []
+    for p in paths:
+        raw = open(p, "rb").read()
+        for url, ts, html, lang, _, off in warc_records_to_rows(p, raw):
+            if (hash(url) % 3) == 0:
+                continue  # sample: skip a third
+            expected[url] = (ts, html)
+            cdx_rows.append((p, off))
+    cdx = spark.createDataFrame(cdx_rows, "warc_file string, warc_offset long")
+    got = fetch_warc_bodies(cdx).collect()
+    assert len(got) == len(cdx_rows)
+    for r in got:
+        ts, html = expected[r.url]
+        assert bytes(r.html) == html
+        assert r.warc_ts.replace(tzinfo=dt.timezone.utc) == ts
+        assert 0 < r.fetch_bytes <= 256 * 1024
