@@ -52,7 +52,9 @@ that lost the whole record because the line printed only once, at the end):
     always run.
   * INCREMENTAL EMISSION: the compact JSON line is printed after EVERY
     completed stage (phase A → headline → queries → skew → phase B →
-    phase C → final), each reprint superseding the last; the driver parses
+    executors → phase C → final; executor pairs run BEFORE phase C so the
+    north-rule-literal evidence is never starved by gap-filling), each
+    reprint superseding the last; the driver parses
     the final stdout line, so a kill at any point still yields a parseable
     record tagged `provisional: <last completed stage>` (the final print
     drops the tag). BENCH_DETAIL.json is rewritten at the same points.
@@ -970,45 +972,6 @@ def main() -> None:
         pairs.append(run_scaling_pair(scale_path, scale_n, small, big, len(pairs), passes))
     _refresh("phase_b")
 
-    # Phase C (conditional, capped, deadline-gated): when EITHER estimator
-    # — the headline capability ratio OR the clean-pair median cross-check
-    # — is still below EFF_TARGET, sample up to BENCH_PHASE_C_MAX more
-    # pairs. This is group-sequential sampling with a stopping rule — the
-    # reported numbers stay the session-best ratio and the median over ALL
-    # clean pairs (never a best-subset). Round-5 (ADVICE r4): a crossing
-    # reached VIA phase-C pairs is followed by one UNCONDITIONAL
-    # confirmation pair, so optional stopping cannot condition the record
-    # on having crossed the bar.
-    def _current_stats() -> tuple[float, float]:
-        import copy
-
-        snap = copy.deepcopy(pairs)  # probe criterion mutates clean flags
-        if any("probe_s" in p for p in snap):
-            apply_probe_criterion(snap)
-        clean = [p for p in snap if p["clean"]] or snap
-        med = statistics.median(p["efficiency"] for p in clean)
-        return capability_efficiency(snap, small, big)["efficiency"], med
-
-    cap_eff, med_eff = _current_stats()
-    extra_c = 0
-    max_c = int(os.environ.get("BENCH_PHASE_C_MAX", "4"))
-    while (cap_eff < EFF_TARGET or med_eff < EFF_TARGET) and extra_c < max_c:
-        if not _fits_pair():
-            _log(f"[scaling] deadline: phase C stopped after {extra_c} pairs")
-            break
-        _log(f"[scaling] capability {cap_eff:.3f} / clean-median {med_eff:.3f} "
-             f"below {EFF_TARGET}; phase-C pair")
-        pairs.append(run_scaling_pair(scale_path, scale_n, small, big, len(pairs), passes))
-        extra_c += 1
-        cap_eff, med_eff = _current_stats()
-        if cap_eff >= EFF_TARGET and med_eff >= EFF_TARGET and _fits_pair():
-            _log("[scaling] phase-C crossing; unconditional confirmation pair")
-            pairs.append(run_scaling_pair(scale_path, scale_n, small, big, len(pairs), passes))
-            cap_eff, med_eff = _current_stats()
-            break
-    if extra_c:
-        _refresh("phase_c")
-
     # Multi-executor supplementary evidence: N vs 4N real executor JVMs
     # (local-cluster + pyFiles). Capability over the sampled pairs (min
     # wall per side), same strictly-subtractive-contention rationale.
@@ -1083,6 +1046,46 @@ def main() -> None:
             "pages_per_sec_big": round(exec_n / min(p["wall_big"] for p in exec_pairs), 1),
             "efficiency": round(_exec_capability(), 4),
         }
+        _refresh("executors")
+
+    # Phase C (conditional, capped, deadline-gated; runs LAST — the
+    # executor pairs above are the north-rule-literal evidence and must
+    # not be starved by gap-filling): when EITHER estimator — the headline
+    # capability ratio OR the clean-pair median cross-check — is still
+    # below EFF_TARGET, sample up to BENCH_PHASE_C_MAX more pairs. This is
+    # group-sequential sampling with a stopping rule — the reported
+    # numbers stay the session-best ratio and the median over ALL clean
+    # pairs (never a best-subset). Round-5 (ADVICE r4): a crossing reached
+    # VIA phase-C pairs is followed by one UNCONDITIONAL confirmation
+    # pair, so optional stopping cannot condition the record on having
+    # crossed the bar.
+    def _current_stats() -> tuple[float, float]:
+        import copy
+
+        snap = copy.deepcopy(pairs)  # probe criterion mutates clean flags
+        if any("probe_s" in p for p in snap):
+            apply_probe_criterion(snap)
+        clean = [p for p in snap if p["clean"]] or snap
+        med = statistics.median(p["efficiency"] for p in clean)
+        return capability_efficiency(snap, small, big)["efficiency"], med
+
+    cap_eff, med_eff = _current_stats()
+    extra_c = 0
+    max_c = int(os.environ.get("BENCH_PHASE_C_MAX", "4"))
+    while (cap_eff < EFF_TARGET or med_eff < EFF_TARGET) and extra_c < max_c:
+        if not _fits_pair():
+            _log(f"[scaling] deadline: phase C stopped after {extra_c} pairs")
+            break
+        _log(f"[scaling] capability {cap_eff:.3f} / clean-median {med_eff:.3f} "
+             f"below {EFF_TARGET}; phase-C pair")
+        pairs.append(run_scaling_pair(scale_path, scale_n, small, big, len(pairs), passes))
+        extra_c += 1
+        cap_eff, med_eff = _current_stats()
+        if cap_eff >= EFF_TARGET and med_eff >= EFF_TARGET and _fits_pair():
+            _log("[scaling] phase-C crossing; unconditional confirmation pair")
+            pairs.append(run_scaling_pair(scale_path, scale_n, small, big, len(pairs), passes))
+            cap_eff, med_eff = _current_stats()
+            break
 
     detail["result"] = result
     _refresh(None)  # final line: no `provisional` key

@@ -5976,6 +5976,229 @@ def corpus_cdx_surt(spark, sf_dir):
     )
 
 
+# Messy-URL synthesis shared by corpus_surt_canonical's two dialects: every
+# public-spec canonicalization edge case reachable from the documents table
+# alone (mixed-case scheme/host, www. prefix, default vs non-default port,
+# unsorted query params, fragment). One spelling per dialect, kept adjacent
+# so they cannot drift.
+_RAW_URL_SQL = """
+      (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END) || '://'
+      || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END)
+      || (CASE WHEN doc_id % 4 = 0 THEN upper(source) || '.Example.ORG'
+               ELSE source || '.example.org' END)
+      || (CASE WHEN doc_id % 5 = 0
+               THEN (CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END)
+               WHEN doc_id % 5 = 1 THEN ':8080' ELSE '' END)
+      || '/' || lang || '/doc-' || lpad(doc_id::VARCHAR, 8, '0')
+      || (CASE doc_id % 4 WHEN 0 THEN '?b=2&a=1'
+                          WHEN 1 THEN '?z=9&m=5&a=3'
+                          WHEN 2 THEN '' ELSE '?a=1' END)
+      || (CASE WHEN doc_id % 7 = 0 THEN '#sec-2' ELSE '' END)
+"""
+
+
+def _raw_url_spark():
+    scheme = F.when(F.col("doc_id") % 2 == 0, F.lit("HTTP")).otherwise(F.lit("https"))
+    www = F.when(F.col("doc_id") % 3 == 0, F.lit("WWW.")).otherwise(F.lit(""))
+    host = F.when(
+        F.col("doc_id") % 4 == 0,
+        F.concat(F.upper(F.col("source")), F.lit(".Example.ORG")),
+    ).otherwise(F.concat(F.col("source"), F.lit(".example.org")))
+    port = (
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.when(F.col("doc_id") % 2 == 0, F.lit(":80")).otherwise(F.lit(":443")),
+        )
+        .when(F.col("doc_id") % 5 == 1, F.lit(":8080"))
+        .otherwise(F.lit(""))
+    )
+    path = F.concat(
+        F.lit("/"), F.col("lang"), F.lit("/doc-"),
+        F.lpad(F.col("doc_id").cast("string"), 8, "0"),
+    )
+    query = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit("?b=2&a=1"))
+        .when(F.col("doc_id") % 4 == 1, F.lit("?z=9&m=5&a=3"))
+        .when(F.col("doc_id") % 4 == 2, F.lit(""))
+        .otherwise(F.lit("?a=1"))
+    )
+    frag = F.when(F.col("doc_id") % 7 == 0, F.lit("#sec-2")).otherwise(F.lit(""))
+    return F.concat(scheme, F.lit("://"), www, host, port, path, query, frag)
+
+
+@register(
+    "corpus_surt_canonical",
+    oracle=f"""
+    WITH raw AS (
+      SELECT doc_id, {_RAW_URL_SQL} AS url_raw FROM documents
+    ),
+    parts AS (
+      SELECT doc_id, url_raw,
+             lower(regexp_extract(url_raw, '^([A-Za-z]+)://', 1)) AS scheme,
+             regexp_replace(
+               lower(regexp_extract(url_raw, '^[A-Za-z]+://([^/:?#]+)', 1)),
+               '^www\\.', '') AS host,
+             regexp_extract(url_raw, '^[A-Za-z]+://[^/:?#]+:([0-9]+)', 1) AS port,
+             regexp_extract(url_raw, '^[A-Za-z]+://[^/?#]+(/[^?#]*)', 1) AS path,
+             regexp_extract(url_raw, '\\?([^#]*)', 1) AS qs
+      FROM raw
+    ),
+    canon AS (
+      SELECT doc_id, url_raw, scheme, host, path,
+             CASE WHEN port = '' THEN ''
+                  WHEN scheme = 'http' AND port = '80' THEN ''
+                  WHEN scheme = 'https' AND port = '443' THEN ''
+                  ELSE ':' || port END AS portc,
+             CASE WHEN qs = '' THEN ''
+                  ELSE '?' || array_to_string(list_sort(string_split(qs, '&')), '&')
+             END AS qsc
+      FROM parts
+    )
+    SELECT url_raw,
+           scheme || '://' || host || portc || path || qsc AS url_canonical,
+           array_to_string(list_reverse(string_split(host, '.')), ',')
+             || portc || ')' || path || qsc AS surt_key
+    FROM canon ORDER BY surt_key, url_raw
+    """,
+)
+def corpus_surt_canonical(spark, sf_dir):
+    """Full public-spec CDX/SURT canonicalization over adversarially messy
+    URLs (the `corpus_cdx_surt` extension from the round-4 verdict):
+    mixed-case scheme/host → lowercased, leading `www.` stripped, default
+    ports dropped (`:80` under http, `:443` under https) while non-default
+    ports survive into both the canonical URL and the SURT key, query
+    params sorted, fragments dropped. Every step is a codegen string op
+    (regexp_extract / array_sort / concat) applied to the RAW string — the
+    canonicalizer is the unit under test, not the synthesizer — and the
+    DuckDB oracle runs the same spec in its own dialect. At 10^12 rows
+    this is the zero-shuffle normalize stage in front of every
+    url-keyed join/dedup in the engine. [public SURT/CDX canonicalization
+    spec; engine addition]"""
+    d = _t(spark, sf_dir, "documents")
+    raw = d.select("doc_id", _raw_url_spark().alias("url_raw"))
+    scheme = F.lower(F.regexp_extract("url_raw", r"^([A-Za-z]+)://", 1))
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract("url_raw", r"^[A-Za-z]+://([^/:?#]+)", 1)),
+        r"^www\.", "",
+    )
+    port = F.regexp_extract("url_raw", r"^[A-Za-z]+://[^/:?#]+:([0-9]+)", 1)
+    path = F.regexp_extract("url_raw", r"^[A-Za-z]+://[^/?#]+(/[^?#]*)", 1)
+    qs = F.regexp_extract("url_raw", r"\?([^#]*)", 1)
+    portc = (
+        F.when(port == "", F.lit(""))
+        .when((scheme == "http") & (port == "80"), F.lit(""))
+        .when((scheme == "https") & (port == "443"), F.lit(""))
+        .otherwise(F.concat(F.lit(":"), port))
+    )
+    qsc = F.when(qs == "", F.lit("")).otherwise(
+        F.concat(F.lit("?"), F.concat_ws("&", F.array_sort(F.split(qs, "&"))))
+    )
+    parts = raw.select(
+        "url_raw",
+        scheme.alias("scheme"), host.alias("host"), portc.alias("portc"),
+        path.alias("path"), qsc.alias("qsc"),
+    )
+    return parts.select(
+        "url_raw",
+        F.concat(
+            F.col("scheme"), F.lit("://"), F.col("host"), F.col("portc"),
+            F.col("path"), F.col("qsc"),
+        ).alias("url_canonical"),
+        F.concat(
+            F.concat_ws(",", F.reverse(F.split(F.col("host"), r"\."))),
+            F.col("portc"), F.lit(")"), F.col("path"), F.col("qsc"),
+        ).alias("surt_key"),
+    ).orderBy("surt_key", "url_raw")
+
+
+# robots.txt rule table shared by corpus_robots_rules' two dialects: three
+# deterministic per-domain-group profiles exercising the spec's decision
+# cases — longest-match override, root disallow with a subtree allow,
+# equal-length allow/disallow tie (allow wins), and no-match default-allow.
+_ROBOTS_RULES = [
+    # (source_group, path_prefix, allow)
+    (0, "/de/", 0),
+    (0, "/de/doc-0000001", 1),   # longest match re-allows doc_ids 10-19
+    (1, "/", 0),                 # root disallow ...
+    (1, "/fr/", 1),              # ... with a subtree allow override
+    (2, "/en/doc-00000", 0),     # equal-length tie:
+    (2, "/en/doc-00000", 1),     #   allow wins per the public spec
+    (2, "/zh/", 0),
+]
+
+
+@register(
+    "corpus_robots_rules",
+    oracle=f"""
+    WITH rules(sgrp, prefix, allow) AS (VALUES
+      { ", ".join(f"({g}, '{p}', {a})" for g, p, a in _ROBOTS_RULES) }
+    ),
+    docs AS (
+      SELECT {_URL_SQL} AS url,
+             substr(source, 4)::INT % 3 AS sgrp,
+             '/' || lang || '/doc-' || lpad(doc_id::VARCHAR, 8, '0') AS path
+      FROM documents
+    ),
+    matched AS (
+      SELECT d.url, max(length(r.prefix) * 2 + r.allow) AS score
+      FROM docs d JOIN rules r
+        ON d.sgrp = r.sgrp AND starts_with(d.path, r.prefix)
+      GROUP BY d.url
+    )
+    SELECT d.url,
+           coalesce(m.score % 2, 1) AS allowed,
+           coalesce(m.score // 2, 0) AS rule_len
+    FROM docs d LEFT JOIN matched m ON d.url = m.url
+    ORDER BY d.url
+    """,
+)
+def corpus_robots_rules(spark, sf_dir):
+    """robots.txt compliance evaluation — the gate every polite crawl /
+    training-data pipeline runs before a URL is fetched or kept: per-domain
+    rule sets evaluated with the public spec's LONGEST-MATCH precedence
+    (most-specific rule wins; at equal length Allow beats Disallow).
+
+    The decision is pure arithmetic on a broadcast rule table: score =
+    prefix_len * 2 + allow, matched via a broadcast prefix join, max per
+    url — the winning rule's verdict is score % 2 and its length score //
+    2, so the whole evaluation is one broadcast join + one map-side-
+    combined aggregation, no window, no UDF. Unmatched urls default to
+    allowed (the spec's empty-ruleset behavior). At 10^12 urls the rule
+    table (per-domain robots.txt, ~KBs) broadcasts; the scan stays
+    zero-shuffle up to the per-url agg. [public robots.txt spec (REP,
+    RFC 9309); engine addition]"""
+    d = _t(spark, sf_dir, "documents")
+    docs = d.select(
+        _url_col().alias("url"),
+        (F.substring("source", 4, 10).cast("int") % 3).alias("sgrp"),
+        F.concat(
+            F.lit("/"), F.col("lang"), F.lit("/doc-"),
+            F.lpad(F.col("doc_id").cast("string"), 8, "0"),
+        ).alias("path"),
+    )
+    rules = spark.createDataFrame(
+        _ROBOTS_RULES, "sgrp int, prefix string, allow int"
+    )
+    matched = (
+        docs.join(
+            F.broadcast(rules),
+            (docs["sgrp"] == rules["sgrp"])
+            & docs["path"].startswith(rules["prefix"]),
+        )
+        .groupBy("url")
+        .agg(F.max(F.length("prefix") * 2 + F.col("allow")).alias("score"))
+    )
+    return (
+        docs.join(matched, "url", "left")
+        .select(
+            "url",
+            F.coalesce(F.col("score") % 2, F.lit(1)).alias("allowed"),
+            F.coalesce((F.col("score") / 2).cast("long"), F.lit(0)).alias("rule_len"),
+        )
+        .orderBy("url")
+    )
+
+
 # ===========================================================================
 # Registry ordering — the driver's CORRECTNESS check windows the FIRST 50
 # entries of ``queries()``.  Round 3 proved the window is a hard cap: the 40
@@ -6003,13 +6226,17 @@ _WINDOW_PRIORITY = [
     "corpus_cardinality_sketch", "ann_pq_topk", "events_json_props",
     "corpus_url_blocklist", "corpus_cms_heavy_hitters",
     "corpus_curation_full", "corpus_sequence_packing", "domain_typosquat",
-    "events_pivot_daily", "events_user_segments", "corpus_bigram_lm",
     # -- queries new/modified this round (r5) — need a driver row.
-    #    warc_cdx_fetch is NEW (CDX offset read-back); dedup_clusters /
+    #    warc_cdx_fetch (CDX offset read-back), corpus_surt_canonical
+    #    (public-spec SURT canonicalizer) and corpus_robots_rules
+    #    (robots.txt longest-match evaluation) are NEW;
+    #    dense_rank_compaction and events_user_value_windows were
+    #    rewritten window-free / distributed-scan; dedup_clusters /
     #    dedup_minhash_verified / link_pagerank share the reworked
     #    session-scoped _materialize_scan; the two sequence-packing oracles
     #    and pipeline_table_profile carry this round's oracle fixes --
-    "warc_cdx_fetch",
+    "warc_cdx_fetch", "corpus_surt_canonical", "corpus_robots_rules",
+    "dense_rank_compaction",
     "dedup_clusters", "dedup_minhash_verified",
     "corpus_sequence_packing_stratified", "embedding_semdedup",
     "events_retention_cohorts", "events_funnel", "events_rolling_24h",
@@ -6025,10 +6252,13 @@ _WINDOW_PRIORITY = [
     #    the imported reference modules) made room for the round-4
     #    additions (warc_extract_match, crawl_snapshot_diff,
     #    corpus_cdx_surt, the three late corpus queries). Round 5 cedes
-    #    tpch_q9_product_profit (r4 green, unchanged) for warc_cdx_fetch.
-    #    Every name here either has no driver row in any round or changed
-    #    materially since its last green row; after round 4 EVERY
-    #    registered query has had a driver-verified row in some round --
+    #    tpch_q9_product_profit, events_pivot_daily, events_user_segments
+    #    and corpus_bigram_lm (all r4 green, unchanged in r5) for
+    #    warc_cdx_fetch, corpus_surt_canonical, corpus_robots_rules and
+    #    the rewritten dense_rank_compaction. Every name here either has
+    #    no driver row in any round or changed materially since its last
+    #    green row; after round 4 EVERY registered query has had a
+    #    driver-verified row in some round --
 ]
 
 
