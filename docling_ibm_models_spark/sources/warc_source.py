@@ -108,6 +108,15 @@ def write_warc(
                 _http_response_block(html),
             )
         )
+    _write_raw_records(path, raw_records, compression)
+    return len(raw_records)
+
+
+def _write_raw_records(
+    path: str, raw_records: list[bytes], compression: str
+) -> None:
+    """Serialize already-framed WARC records under one of the three wild
+    layouts (shared by the WARC response writer and the WET writer)."""
     with open(path, "wb") as f:
         if compression == "record":
             for rec in raw_records:
@@ -126,7 +135,6 @@ def write_warc(
                 f.write(rec)
         else:
             raise ValueError(f"unknown compression {compression!r}")
-    return len(raw_records)
 
 
 def _iso(ts: _dt.datetime) -> str:
@@ -598,6 +606,192 @@ def cached_warc_dir(
     if not os.path.exists(done):
         pages = spark.read.parquet(pages_path).repartition(files, "url")
         write_warc_archives(pages, out_dir, layouts=layouts)
+        with open(done, "w") as f:
+            f.write("ok")
+    return out_dir
+
+
+# ---------------------------------------------------------------------------
+# WET (extracted-text "conversion" records) — the OUTPUT side of the on-ramp
+# ---------------------------------------------------------------------------
+#
+# Common Crawl publishes its extracted plain text as WET files: WARC
+# containers whose records are ``WARC-Type: conversion`` with a
+# ``text/plain`` block holding the extracted text (no HTTP envelope).
+# The engine's extraction output is exactly that shape, so the natural
+# interchange sink for a 10^12-doc run is a WET corpus the rest of the
+# ecosystem (CC tooling, dedup pipelines, tokenizer runs) can consume
+# directly. Public spec only (ISO 28500 + CC's published WET layout).
+
+
+def write_wet(
+    path: str,
+    records: list[tuple[str, _dt.datetime, str]],
+    compression: str = "record",
+) -> int:
+    """Write ``records`` = [(url, warc_ts, extracted_text), ...] as a WET
+    file (WARC conversion records, text/plain blocks, UTF-8). Layouts and
+    determinism guarantees match :func:`write_warc`; returns the record
+    count including the leading warcinfo."""
+    info_ts = (
+        records[0][1]
+        if records
+        else _dt.datetime(2024, 1, 1, tzinfo=_dt.timezone.utc)
+    )
+    info_block = (
+        b"software: docling-ibm-models-spark wet writer\r\n"
+        b"format: WARC File Format 1.0\r\n"
+        b"publisher: extraction pipeline (conversion records)\r\n"
+    )
+    raw_records = [
+        _warc_record(
+            [
+                ("WARC-Type", "warcinfo"),
+                ("WARC-Date", _iso(info_ts)),
+                ("Content-Type", "application/warc-fields"),
+            ],
+            info_block,
+        )
+    ]
+    for url, ts, text in records:
+        raw_records.append(
+            _warc_record(
+                [
+                    ("WARC-Type", "conversion"),
+                    ("WARC-Target-URI", url),
+                    ("WARC-Date", _iso(ts)),
+                    ("Content-Type", "text/plain"),
+                ],
+                text.encode("utf-8"),
+            )
+        )
+    _write_raw_records(path, raw_records, compression)
+    return len(raw_records)
+
+
+def wet_records_to_rows(
+    name: str, raw: bytes
+) -> Iterator[tuple[str, _dt.datetime | None, str, str, int]]:
+    """All conversion records of one WET archive as extraction-output-shaped
+    tuples ``(url, warc_ts, extracted_text, warc_file, warc_offset)``. Runs
+    on the same incremental parser as the response reader — bounded memory,
+    hostile Content-Length tolerated, offsets CDX-compatible."""
+    for headers, block, offset in iter_warc_records(raw):
+        if headers.get("warc-type") != "conversion":
+            continue
+        url = headers.get("warc-target-uri", "")
+        ts = _parse_warc_date(headers.get("warc-date"))
+        yield url, ts, block.decode("utf-8", errors="replace"), name, offset
+
+
+TEXT_FROM_WET_SCHEMA = (
+    "url string, warc_ts timestamp, extracted_text string, "
+    "warc_file string, warc_offset long"
+)
+
+
+def text_from_wet(spark, path_glob: str | list[str]):
+    """Scan WET archives back into the extraction-output shape. Same scale
+    contract as :func:`pages_from_warc`: one ``binaryFile`` task per
+    archive, Arrow-batched incremental parse, zero shuffle, CDX-style
+    provenance columns."""
+    src = spark.read.format("binaryFile").load(path_glob)
+    return src.select("path", "content").mapInPandas(
+        _parse_wet_batches, TEXT_FROM_WET_SCHEMA
+    )
+
+
+def _parse_wet_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    cols = ["url", "warc_ts", "extracted_text", "warc_file", "warc_offset"]
+    for pdf in batches:
+        rows: list[tuple] = []
+        for name, raw in zip(pdf["path"], pdf["content"]):
+            for row in wet_records_to_rows(name, bytes(raw)):
+                rows.append(row)
+                if len(rows) >= _CHUNK_ROWS:
+                    yield pd.DataFrame(rows, columns=cols)
+                    rows = []
+        if rows:
+            yield pd.DataFrame(rows, columns=cols)
+
+
+def write_wet_archives(
+    text_df, out_dir: str, layouts: tuple[str, ...] = ("record", "file", "none")
+) -> int:
+    """Write an extraction-output DataFrame ``(url, warc_ts,
+    extracted_text)`` as WET archives, one per partition — the distributed
+    sink a 10^12-doc extraction run ends in. Layouts cycle by partition id
+    exactly like :func:`write_warc_archives`; returns archives written."""
+    import os
+
+    from pyspark import TaskContext
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pid = TaskContext.get().partitionId()
+        recs: list[tuple[str, _dt.datetime, str]] = []
+        for pdf in batches:
+            for url, ts, text in zip(
+                pdf["url"], pdf["warc_ts"], pdf["extracted_text"]
+            ):
+                t = ts.to_pydatetime() if hasattr(ts, "to_pydatetime") else ts
+                if t.tzinfo is None:
+                    t = t.replace(tzinfo=_dt.timezone.utc)
+                recs.append((url, t, str(text)))
+        if recs:
+            comp = layouts[pid % len(layouts)]
+            ext = ".warc.wet" if comp == "none" else ".warc.wet.gz"
+            write_wet(os.path.join(out_dir, f"crawl-{pid:05d}{ext}"), recs, comp)
+        yield pd.DataFrame({"archives": [1 if recs else 0]})
+
+    n = (
+        text_df.select("url", "warc_ts", "extracted_text")
+        .mapInPandas(write_part, "archives int")
+        .groupBy()
+        .sum("archives")
+        .collect()[0][0]
+    )
+    return int(n or 0)
+
+
+def cached_wet_dir(spark, sf_dir: str, files: int = 8) -> str:
+    """Materialize the WET corpus the extraction pipeline produces over the
+    synthetic pages: pages → extraction (the real kernel) → per-record
+    warc_ts re-attached from the pages table → WET archives under /tmp,
+    cached by (pages cache key, files, this module's hash)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from docling_ibm_models_spark.pipeline.extract import (
+        doc_text_clean,
+        extract_doc_text,
+    )
+    from docling_ibm_models_spark.sources.pages_source import cached_pages_path
+
+    pages_path = cached_pages_path(spark, sf_dir)
+    with open(os.path.abspath(__file__), "rb") as f:
+        mod_hash = hashlib.sha256(f.read()).hexdigest()[:12]
+    pages_key = os.path.basename(os.path.dirname(pages_path))
+    # prefix, not suffix: pages_key starts with '_' (path-mangled), and a
+    # leading underscore makes Spark's file index treat the dir as a
+    # metadata path ("All paths were ignored" driver-log warning)
+    key = f"wet-{pages_key}-f{files}-{mod_hash}"
+    out_dir = os.path.join(tempfile.gettempdir(), "bench_wet_cache", key)
+    done = os.path.join(out_dir, "_SUCCESS")
+    if not os.path.exists(done):
+        pages = spark.read.parquet(pages_path)
+        extracted = doc_text_clean(extract_doc_text(pages)).select(
+            "url", "extracted_text"
+        )
+        # re-attach warc_ts for the conversion records' WARC-Date — one
+        # url-keyed shuffle join in the fixture producer only; the
+        # production sink receives warc_ts alongside the extraction output
+        with_ts = extracted.join(
+            spark.read.parquet(pages_path).select("url", "warc_ts"), "url"
+        ).repartition(files, "url")
+        write_wet_archives(with_ts, out_dir)
         with open(done, "w") as f:
             f.write("ok")
     return out_dir

@@ -507,3 +507,96 @@ def test_fetch_warc_bodies_spark_stage(tmp_path, spark):
         assert bytes(r.html) == html
         assert r.warc_ts.replace(tzinfo=dt.timezone.utc) == ts
         assert 0 < r.fetch_bytes <= 256 * 1024
+
+
+# ---------------------------------------------------------------------------
+# WET (conversion records) — the extraction OUTPUT side of the on-ramp
+# ---------------------------------------------------------------------------
+
+
+def _wet_recs(n: int) -> list[tuple[str, dt.datetime, str]]:
+    # hostile extracted text: embedded WARC header lines, CRLF runs, NULs,
+    # non-ASCII — everything the Content-Length-framed parser must not
+    # trip on when it appears INSIDE a conversion block
+    return [
+        (
+            f"https://ex{i}.com/wet",
+            TS0 + dt.timedelta(seconds=i),
+            f"line one {i}\r\n\r\nWARC/1.0\r\nWARC-Type: response\r\n"
+            f"Content-Length: 3\x00\r\n\r\né—{i}",
+        )
+        for i in range(n)
+    ]
+
+
+@pytest.mark.parametrize("compression", ["record", "file", "none"])
+def test_wet_round_trip(tmp_path, compression):
+    from docling_ibm_models_spark.sources.warc_source import (
+        wet_records_to_rows,
+        write_wet,
+    )
+
+    recs = _wet_recs(7)
+    p = str(tmp_path / f"a.{compression}.warc.wet")
+    n_written = write_wet(p, recs, compression=compression)
+    assert n_written == 8  # warcinfo + 7 conversions
+    with open(p, "rb") as f:
+        raw = f.read()
+    rows = list(wet_records_to_rows("a", raw))
+    assert [(u, ts, t) for u, ts, t, _, _ in rows] == recs
+
+
+def test_wet_reader_skips_response_records(tmp_path):
+    # a mixed archive (CC never mixes, but a tolerant reader must filter by
+    # WARC-Type, not by position): WET reader sees only conversions, the
+    # pages reader only responses
+    from docling_ibm_models_spark.sources.warc_source import (
+        wet_records_to_rows,
+        write_wet,
+    )
+
+    p_warc = str(tmp_path / "m.warc")
+    p_wet = str(tmp_path / "m.warc.wet")
+    write_warc(p_warc, _recs(3), compression="none")
+    write_wet(p_wet, _wet_recs(2), compression="none")
+    with open(p_warc, "rb") as f1, open(p_wet, "rb") as f2:
+        mixed = f1.read() + f2.read()
+    assert len(list(wet_records_to_rows("m", mixed))) == 2
+    assert len(list(warc_records_to_rows("m", mixed))) == 3
+
+
+def test_wet_spark_scan_and_distributed_writer(spark, tmp_path):
+    from docling_ibm_models_spark.sources.warc_source import (
+        text_from_wet,
+        write_wet_archives,
+    )
+
+    recs = _wet_recs(20)
+    df = spark.createDataFrame(
+        [(u, ts, t) for u, ts, t in recs],
+        "url string, warc_ts timestamp, extracted_text string",
+    ).repartition(4, "url")
+    out = str(tmp_path / "wet")
+    n_archives = write_wet_archives(df, out)
+    assert n_archives == 4
+    exts = {f.split(".", 1)[1] for f in os.listdir(out)}
+    assert exts <= {"warc.wet", "warc.wet.gz"}
+    back = text_from_wet(spark, out).select("url", "extracted_text").collect()
+    assert sorted((r["url"], r["extracted_text"]) for r in back) == sorted(
+        (u, t) for u, ts, t in recs
+    )
+
+
+def test_wet_naive_datetime_written_as_utc(tmp_path):
+    from docling_ibm_models_spark.sources.warc_source import (
+        wet_records_to_rows,
+        write_wet,
+    )
+
+    naive = dt.datetime(2024, 3, 5, 12, 0, 7)  # no tzinfo
+    p = str(tmp_path / "naive.warc.wet")
+    write_wet(p, [("https://ex.com/", naive, "t")], compression="none")
+    with open(p, "rb") as f:
+        raw = f.read()
+    ((_, ts, _, _, _),) = wet_records_to_rows("n", raw)
+    assert ts == naive.replace(tzinfo=dt.timezone.utc)
