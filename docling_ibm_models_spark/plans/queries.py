@@ -6339,6 +6339,47 @@ def corpus_robots_rules(spark, sf_dir):
     )
 
 
+@register(
+    "corpus_stratified_sample",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, lang, n_chars,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5('strat|' || doc_id::VARCHAR)
+             ) AS rn
+      FROM documents
+    )
+    SELECT doc_id, lang, n_chars FROM ranked WHERE rn <= 100
+    ORDER BY doc_id
+    """,
+)
+def corpus_stratified_sample(spark, sf_dir):
+    """Exact per-stratum quota sampling — the data-mixture primitive of a
+    training corpus (exactly k docs per language, deterministic across
+    runs / engines / cluster sizes): the k hash-smallest docs of each lang.
+
+    The naive plan — row_number() OVER (PARTITION BY lang) — puts each
+    language in ONE window task, so a web corpus (5-ish giant language
+    groups over 10^12 rows) becomes five world-sized single-task sorts.
+    :func:`~docling_ibm_models_spark.operators.stratified.
+    stratified_hash_topk` is the scale path: bucket rows by hash prefix,
+    classify whole buckets by arithmetic over a tiny (lang x 4096)
+    count frame, and sort ONLY the single boundary bucket per group
+    (~group_size/4096 rows, window partitioned by (lang, bucket)). The
+    oracle is the semantically-equal naive window, fine at sf test sizes.
+    [engine addition: no reference counterpart — data-mixture balancing
+    per Gopher/The Pile mixture construction]"""
+    from docling_ibm_models_spark.operators.stratified import (
+        stratified_hash_topk,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return stratified_hash_topk(
+        d, "lang", "doc_id", k=100, seed="strat|"
+    ).orderBy("doc_id")
+
+
 # ===========================================================================
 # Registry ordering — the driver's CORRECTNESS check windows the FIRST 50
 # entries of ``queries()``.  Round 3 proved the window is a hard cap: the 40
@@ -6358,7 +6399,7 @@ _WINDOW_PRIORITY = [
     "pipeline_layout_clusters", "pipeline_doc_assembly",
     "pipeline_figure_classes", "pipeline_code_formula",
     "pipeline_table_cells", "pipeline_reading_order", "pipeline_media_meta",
-    "pipeline_table_profile", "ann_ivf_topk", "events_asof_join",
+    "pipeline_table_profile", "ann_ivf_topk",
     "corpus_hash_sample", "corpus_chunk_dedup", "pii_redaction",
     "domain_stats", "link_pagerank", "corpus_unigram_surprisal",
     "corpus_decontaminate", "events_skew_salted_join",
@@ -6377,6 +6418,7 @@ _WINDOW_PRIORITY = [
     #    and pipeline_table_profile carry this round's oracle fixes --
     "warc_cdx_fetch", "corpus_surt_canonical", "corpus_robots_rules",
     "corpus_boilerplate_blocks", "warc_wet_roundtrip",
+    "corpus_stratified_sample",
     "dense_rank_compaction",
     "dedup_clusters", "dedup_minhash_verified",
     "corpus_sequence_packing_stratified", "embedding_semdedup",
@@ -6398,7 +6440,9 @@ _WINDOW_PRIORITY = [
     #    warc_cdx_fetch, corpus_surt_canonical, corpus_robots_rules and
     #    the rewritten dense_rank_compaction; events_retention_cohorts and
     #    events_funnel (both r4 green, unchanged) cede for the late-r5
-    #    corpus_boilerplate_blocks and warc_wet_roundtrip. Every name here
+    #    corpus_boilerplate_blocks and warc_wet_roundtrip; events_asof_join
+    #    (r4 green, unchanged) cedes for corpus_stratified_sample (exact
+    #    distributed per-stratum quota sampling). Every name here
     #    either has
     #    no driver row in any round or changed materially since its last
     #    green row; after round 4 EVERY registered query has had a
