@@ -6380,6 +6380,180 @@ def corpus_stratified_sample(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def _bpe_pair_counts(wf: DataFrame) -> DataFrame:
+    """Corpus-wide adjacent-symbol-pair counts over a (syms, f) word-
+    frequency frame — the BPE statistic, weighted by word frequency."""
+    pairs = F.when(
+        F.size("syms") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("syms") - 1),
+            lambda i: F.struct(
+                F.element_at("syms", i).alias("l"),
+                F.element_at("syms", i + 1).alias("r"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
+    return (
+        wf.select(F.explode(pairs).alias("p"), "f")
+        .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+        .agg(F.sum("f").alias("cnt"))
+    )
+
+
+def _bpe_apply_merge(wf: DataFrame, best: DataFrame) -> DataFrame:
+    """Greedy left-to-right merge of the winning pair into every word's
+    symbol sequence: one fold (``F.aggregate``) per word, entirely inside
+    codegen — if the accumulator's last symbol is ``bl`` and the incoming
+    one is ``br``, fuse them (the fused token can never re-fuse with the
+    next ``br``, which IS the non-overlapping greedy scan)."""
+    j = wf.crossJoin(F.broadcast(best))
+    merged = F.aggregate(
+        "syms",
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.col("bl"))
+            & (s == F.col("br")),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.concat(F.col("bl"), F.col("br"))),
+            ),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+    return j.select(merged.alias("syms"), "f")
+
+
+# The oracle applies one greedy merge to the space-delimited symbol string
+# with TWO literal replace passes: a replace consumes the separator space
+# shared with an immediately following disjoint occurrence ('x a b a b x'
+# merges only the first pair in one pass), and such missed occurrences are
+# never adjacent — so a second pass catches exactly the stragglers.
+_BPE_SQL_COMMON = """
+    words AS (
+      SELECT unnest(regexp_split_to_array(text, '\\s+')) AS w FROM documents
+    ),
+    wf AS (SELECT w, count(*) AS f FROM words WHERE w <> '' GROUP BY w),
+    s0 AS (
+      SELECT ' ' || array_to_string(regexp_extract_all(w, '.'), ' ') || ' '
+               AS ds, f
+      FROM wf
+    ),
+    c0 AS (
+      SELECT cs[i] AS l, cs[i+1] AS r, sum(f)::BIGINT AS cnt
+      FROM (SELECT string_split(trim(ds), ' ') AS cs, f FROM s0),
+           unnest(range(1, len(cs))) u(i)
+      GROUP BY 1, 2
+    ),
+    b1 AS (SELECT l, r FROM c0 ORDER BY cnt DESC, l, r LIMIT 1),
+    s1 AS (
+      SELECT replace(replace(ds,
+               ' ' || (SELECT l FROM b1) || ' ' || (SELECT r FROM b1) || ' ',
+               ' ' || (SELECT l FROM b1) || (SELECT r FROM b1) || ' '),
+               ' ' || (SELECT l FROM b1) || ' ' || (SELECT r FROM b1) || ' ',
+               ' ' || (SELECT l FROM b1) || (SELECT r FROM b1) || ' ')
+               AS ds, f
+      FROM s0
+    ),
+    c1 AS (
+      SELECT cs[i] AS l, cs[i+1] AS r, sum(f)::BIGINT AS cnt
+      FROM (SELECT string_split(trim(ds), ' ') AS cs, f FROM s1),
+           unnest(range(1, len(cs))) u(i)
+      GROUP BY 1, 2
+    ),
+    b2 AS (SELECT l, r FROM c1 ORDER BY cnt DESC, l, r LIMIT 1),
+    s2 AS (
+      SELECT replace(replace(ds,
+               ' ' || (SELECT l FROM b2) || ' ' || (SELECT r FROM b2) || ' ',
+               ' ' || (SELECT l FROM b2) || (SELECT r FROM b2) || ' '),
+               ' ' || (SELECT l FROM b2) || ' ' || (SELECT r FROM b2) || ' ',
+               ' ' || (SELECT l FROM b2) || (SELECT r FROM b2) || ' ')
+               AS ds, f
+      FROM s1
+    ),
+    c2 AS (
+      SELECT cs[i] AS l, cs[i+1] AS r, sum(f)::BIGINT AS cnt
+      FROM (SELECT string_split(trim(ds), ' ') AS cs, f FROM s2),
+           unnest(range(1, len(cs))) u(i)
+      GROUP BY 1, 2
+    )
+"""
+
+
+@register(
+    "corpus_bpe_merges",
+    oracle=f"""
+    WITH {_BPE_SQL_COMMON}
+    SELECT * FROM (
+      (SELECT 0 AS it, l, r, cnt FROM c0 ORDER BY cnt DESC, l, r LIMIT 10)
+      UNION ALL
+      (SELECT 1 AS it, l, r, cnt FROM c1 ORDER BY cnt DESC, l, r LIMIT 10)
+      UNION ALL
+      (SELECT 2 AS it, l, r, cnt FROM c2 ORDER BY cnt DESC, l, r LIMIT 10)
+    ) ORDER BY it, cnt DESC, l, r
+    """,
+)
+def corpus_bpe_merges(spark, sf_dir):
+    """Distributed byte-pair-encoding tokenizer training, two merge
+    iterations (Sennrich et al. 2016): corpus-wide adjacent-symbol pair
+    counts over the word-frequency table, greedy left-to-right merge of
+    the argmax pair applied to every word, recount, repeat. Emits the
+    top-10 pairs at iteration 0 / 1 / 2 (each iteration's rank-1 row is
+    the merge that produced the next).
+
+    The 100-TB shape is the classic BPE compression: the corpus collapses
+    to a (word, freq) table ONCE (one scan + one groupBy, materialized
+    distributed via ``_materialize_scan`` so the three counting rounds
+    re-read a tiny parquet, not the corpus); every later stage — pair
+    explode, count, argmax, merge fold — runs over that bounded frame.
+    The merge itself is an ``F.aggregate`` fold per word against the
+    broadcast 1-row winner (the fused token can't re-fuse, which IS
+    greedy non-overlap), so no Python touches any row. Symbol split /
+    pair enumeration are higher-order codegen expressions.
+    [engine addition: tokenizer-training primitive; reference processes
+    single documents and has no corpus-level ops]"""
+    d = _t(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(F.split(F.col("text"), r"\s+")).alias("w")
+    ).filter(F.col("w") != "")
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("w")),
+        lambda i: F.col("w").substr(i, F.lit(1)),
+    )
+    wf = _materialize_scan(
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .select(chars.alias("syms"), "f"),
+        spark,
+    )
+
+    def top1(cnts):
+        return (
+            cnts.orderBy(F.col("cnt").desc(), "l", "r")
+            .limit(1)
+            .select(F.col("l").alias("bl"), F.col("r").alias("br"))
+        )
+
+    c0 = _bpe_pair_counts(wf)
+    wf1 = _bpe_apply_merge(wf, top1(c0))
+    c1 = _bpe_pair_counts(wf1)
+    wf2 = _bpe_apply_merge(wf1, top1(c1))
+    c2 = _bpe_pair_counts(wf2)
+
+    def top10(cnts, it):
+        return (
+            cnts.orderBy(F.col("cnt").desc(), "l", "r")
+            .limit(10)
+            .select(F.lit(it).alias("it"), "l", "r", "cnt")
+        )
+
+    return (
+        top10(c0, 0)
+        .unionByName(top10(c1, 1))
+        .unionByName(top10(c2, 2))
+        .orderBy("it", F.col("cnt").desc(), "l", "r")
+    )
+
+
 # ===========================================================================
 # Registry ordering — the driver's CORRECTNESS check windows the FIRST 50
 # entries of ``queries()``.  Round 3 proved the window is a hard cap: the 40
@@ -6403,7 +6577,7 @@ _WINDOW_PRIORITY = [
     "corpus_hash_sample", "corpus_chunk_dedup", "pii_redaction",
     "domain_stats", "link_pagerank", "corpus_unigram_surprisal",
     "corpus_decontaminate", "events_skew_salted_join",
-    "events_user_value_windows", "revenue_grouping_sets",
+    "events_user_value_windows",
     "corpus_cardinality_sketch", "ann_pq_topk", "events_json_props",
     "corpus_url_blocklist", "corpus_cms_heavy_hitters",
     "corpus_curation_full", "corpus_sequence_packing", "domain_typosquat",
@@ -6418,7 +6592,7 @@ _WINDOW_PRIORITY = [
     #    and pipeline_table_profile carry this round's oracle fixes --
     "warc_cdx_fetch", "corpus_surt_canonical", "corpus_robots_rules",
     "corpus_boilerplate_blocks", "warc_wet_roundtrip",
-    "corpus_stratified_sample",
+    "corpus_stratified_sample", "corpus_bpe_merges",
     "dense_rank_compaction",
     "dedup_clusters", "dedup_minhash_verified",
     "corpus_sequence_packing_stratified", "embedding_semdedup",
@@ -6441,8 +6615,10 @@ _WINDOW_PRIORITY = [
     #    the rewritten dense_rank_compaction; events_retention_cohorts and
     #    events_funnel (both r4 green, unchanged) cede for the late-r5
     #    corpus_boilerplate_blocks and warc_wet_roundtrip; events_asof_join
-    #    (r4 green, unchanged) cedes for corpus_stratified_sample (exact
-    #    distributed per-stratum quota sampling). Every name here
+    #    and revenue_grouping_sets (both r4 green, unchanged) cede for
+    #    corpus_stratified_sample (exact distributed per-stratum quota
+    #    sampling) and corpus_bpe_merges (distributed BPE tokenizer
+    #    training). Every name here
     #    either has
     #    no driver row in any round or changed materially since its last
     #    green row; after round 4 EVERY registered query has had a
