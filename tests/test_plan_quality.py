@@ -344,3 +344,29 @@ def test_cdx_surt_is_codegen_plus_one_range_sort(spark):
     assert plan.count("rangepartitioning(") == 1
     assert "hashpartitioning" not in plan
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_bpe_merges_is_jvm_side_with_broadcast_winners(spark):
+    """corpus_bpe_merges: symbol split / pair enumeration / greedy fold
+    all JVM expressions (no Python nodes), each argmax winner joined in
+    via BroadcastNestedLoopJoin over a 1-row frame (never a shuffled or
+    cartesian product), and the corpus collapses to the word-frequency
+    table before any per-iteration work."""
+    plan = plan_of(QUERIES["corpus_bpe_merges"](spark, SF_MED))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "MapInPandas" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row winner joins
+    assert "Window" not in plan  # top-k via sort+limit on agg output
+
+
+def test_stratified_sample_query_plan(spark):
+    """corpus_stratified_sample: the only window is the boundary bucket
+    (partitioned by lang x _hb), stats recombination broadcasts, no
+    Python nodes."""
+    plan = plan_of(QUERIES["corpus_stratified_sample"](spark, SF_MED))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "_hb" in line, f"unbucketed window: {line[:160]}"
