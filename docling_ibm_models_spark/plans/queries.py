@@ -6554,6 +6554,132 @@ def corpus_bpe_merges(spark, sf_dir):
     )
 
 
+@register(
+    "corpus_mixture_weights",
+    oracle="""
+    WITH per AS (
+      SELECT lang,
+             count(*)::BIGINT AS n_docs,
+             sum(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                 x -> x <> '')))::BIGINT AS n_tokens
+      FROM documents GROUP BY lang
+    ),
+    tot AS (
+      SELECT sum(n_docs) AS td, sum(pow(n_docs, 0.3)) AS tw FROM per
+    )
+    SELECT lang, n_docs, n_tokens,
+           round(n_docs / td, 6) AS share,
+           round(pow(n_docs, 0.3) / tw, 6) AS weight_a03,
+           round(1000000 * (pow(n_docs, 0.3) / tw) / n_tokens, 4)
+             AS epochs_1m
+    FROM per, tot
+    ORDER BY lang
+    """,
+)
+def corpus_mixture_weights(spark, sf_dir):
+    """Training-mixture construction math (XLM-R / Gopher): per-language
+    corpus stats plus temperature-scaled sampling weights
+    ``w_l = n_l^alpha / sum(n^alpha)`` at alpha = 0.3 — the standard
+    upsampling of low-resource strata — and the implied epochs each
+    stratum would be cycled to fill a 1M-token budget (epochs > 1 means
+    the stratum repeats; the overfitting signal mixture designers check).
+    One map-side-combined aggregation to a |langs|-row frame; the
+    normalizing totals come back via a broadcast 1-row cross join, so the
+    corpus is scanned exactly once at any scale. [engine addition: data
+    mixture primitive, pairs with corpus_stratified_sample]"""
+    d = _t(spark, sf_dir, "documents")
+    ntok = F.size(F.filter(F.split("text", r"\s+"), lambda x: x != ""))
+    per = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(ntok).alias("n_tokens"),
+    )
+    tot = per.agg(
+        F.sum("n_docs").alias("td"),
+        F.sum(F.pow("n_docs", F.lit(0.3))).alias("tw"),
+    )
+    w = F.pow("n_docs", F.lit(0.3)) / F.col("tw")
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("n_docs") / F.col("td"), 6).alias("share"),
+            F.round(w, 6).alias("weight_a03"),
+            F.round(F.lit(1000000) * w / F.col("n_tokens"), 4).alias(
+                "epochs_1m"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "corpus_source_overlap",
+    oracle=f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    ex AS (
+      SELECT DISTINCT d.source AS src, u.s
+      FROM sh JOIN documents d USING (doc_id),
+           unnest(sh.shingles) AS u(s)
+    ),
+    sizes AS (SELECT src, count(*) AS n FROM ex GROUP BY src),
+    inter AS (
+      SELECT a.src AS src_a, b.src AS src_b, count(*)::BIGINT AS n_common
+      FROM ex a JOIN ex b ON a.s = b.s AND a.src < b.src
+      GROUP BY 1, 2
+    )
+    SELECT src_a, src_b, n_common,
+           round(n_common::DOUBLE / (sa.n + sb.n - n_common), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.src = src_a
+    JOIN sizes sb ON sb.src = src_b
+    ORDER BY src_a, src_b
+    """,
+)
+def corpus_source_overlap(spark, sf_dir):
+    """Cross-source contamination matrix (the Dolma/decontamination
+    REPORT, where ``corpus_decontaminate`` is the surgical anti-join):
+    3-gram shingle Jaccard between every pair of SOURCES — how much of
+    crawl A's phrase inventory re-appears in crawl B, the number a
+    curation team reads before deciding which source to dedup against
+    which. Distinct (source, shingle) first, so the shingle self-join's
+    blow-up is bounded by Sigma df^2 <= n_sources^2 per shingle —
+    independent of document count, the property that keeps this runnable
+    at 10^12 docs where the doc-level pair matrix is not. One shuffle on
+    the shingle, one tiny per-source-pair rollup. [engine addition]"""
+    docs = _t(spark, sf_dir, "documents")
+    ex = (
+        _shingles_spark(docs)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select(F.col("source").alias("src"), F.explode("shingles").alias("s"))
+        .distinct()
+    )
+    sizes = ex.groupBy("src").agg(F.count(F.lit(1)).alias("n"))
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.src") < F.col("b.src")))
+        .groupBy(F.col("a.src").alias("src_a"), F.col("b.src").alias("src_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("src").alias("src_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("src").alias("src_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_common",
+            F.round(
+                F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")),
+                4,
+            ).alias("jaccard"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
 # ===========================================================================
 # Registry ordering — the driver's CORRECTNESS check windows the FIRST 50
 # entries of ``queries()``.  Round 3 proved the window is a hard cap: the 40
@@ -6574,7 +6700,7 @@ _WINDOW_PRIORITY = [
     "pipeline_figure_classes", "pipeline_code_formula",
     "pipeline_table_cells", "pipeline_reading_order", "pipeline_media_meta",
     "pipeline_table_profile", "ann_ivf_topk",
-    "corpus_hash_sample", "corpus_chunk_dedup", "pii_redaction",
+    "corpus_chunk_dedup",
     "domain_stats", "link_pagerank", "corpus_unigram_surprisal",
     "corpus_decontaminate", "events_skew_salted_join",
     "events_user_value_windows",
@@ -6593,6 +6719,7 @@ _WINDOW_PRIORITY = [
     "warc_cdx_fetch", "corpus_surt_canonical", "corpus_robots_rules",
     "corpus_boilerplate_blocks", "warc_wet_roundtrip",
     "corpus_stratified_sample", "corpus_bpe_merges",
+    "corpus_mixture_weights", "corpus_source_overlap",
     "dense_rank_compaction",
     "dedup_clusters", "dedup_minhash_verified",
     "corpus_sequence_packing_stratified", "embedding_semdedup",
@@ -6618,7 +6745,10 @@ _WINDOW_PRIORITY = [
     #    and revenue_grouping_sets (both r4 green, unchanged) cede for
     #    corpus_stratified_sample (exact distributed per-stratum quota
     #    sampling) and corpus_bpe_merges (distributed BPE tokenizer
-    #    training). Every name here
+    #    training); corpus_hash_sample and pii_redaction (both r4 green,
+    #    unchanged) cede for corpus_mixture_weights (temperature-scaled
+    #    mixture math) and corpus_source_overlap (cross-source
+    #    contamination matrix). Every name here
     #    either has
     #    no driver row in any round or changed materially since its last
     #    green row; after round 4 EVERY registered query has had a
