@@ -370,3 +370,23 @@ def test_stratified_sample_query_plan(spark):
     for line in plan.splitlines():
         if "windowspecdefinition" in line:
             assert "_hb" in line, f"unbucketed window: {line[:160]}"
+
+
+def test_mixture_weights_single_scan_broadcast_totals(spark):
+    """corpus_mixture_weights: one aggregation over the scan, totals come
+    back via a broadcast nested-loop over a 1-row frame — no window, no
+    second corpus scan beyond the totals' reuse of the tiny agg."""
+    plan = plan_of(QUERIES["corpus_mixture_weights"](spark, SF_MED))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_source_overlap_joins_are_hash_joins(spark):
+    """corpus_source_overlap: the shingle self-join and the size lookups
+    are hash joins (shuffled or broadcast) — no nested-loop explosion."""
+    plan = plan_of(QUERIES["corpus_source_overlap"](spark, SF_MED))
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "HashJoin" in plan
+    assert "BatchEvalPython" not in plan  # shingling is the Arrow UDF only
