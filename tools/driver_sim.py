@@ -1,0 +1,97 @@
+"""Stricter driver simulation: for each _WINDOW_PRIORITY query, compare the
+Spark result against the DuckDB oracle with pandas-dtype sensitivity.
+
+The driver hashes values after a pandas conversion, so a DuckDB HUGEINT
+(object dtype in pandas) vs Spark BIGINT (int64) mismatches even when every
+value is equal (round-4 lesson).  tests/test_oracle_queries.py normalizes
+types away; this script does not — it flags any column whose pandas dtype
+family differs between the two sides.
+
+Run: python tools/driver_sim.py [start [end]]
+"""
+from __future__ import annotations
+
+import sys
+
+import duckdb
+import pandas as pd
+
+from docling_ibm_models_spark.plans.queries import ORACLES, QUERIES, _WINDOW_PRIORITY
+from docling_ibm_models_spark.session import get_spark
+
+SF = "/root/testdata/sf0.01"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def dtype_family(s: pd.Series) -> str:
+    k = s.dtype.kind
+    if k in "iu":
+        return "int"
+    if k == "f":
+        return "float"
+    if k == "b":
+        return "bool"
+    if k == "M":
+        return "datetime"
+    if k == "O":
+        # object: distinguish int-ish (HUGEINT/Decimal artifacts) from str
+        non_null = s.dropna()
+        if len(non_null) and all(isinstance(v, int) for v in non_null[:50]):
+            return "int-as-object"  # the HUGEINT trap
+        if len(non_null) and all(isinstance(v, float) for v in non_null[:50]):
+            return "float-as-object"
+        return "object"
+    return str(s.dtype)
+
+
+def main() -> int:
+    start = int(sys.argv[1]) if len(sys.argv) > 1 else 0
+    end = int(sys.argv[2]) if len(sys.argv) > 2 else 50
+    names = _WINDOW_PRIORITY[start:end]
+    spark = get_spark()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    bad = 0
+    for name in names:
+        try:
+            sdf = QUERIES[name](spark, SF).toPandas()
+        except Exception as e:  # noqa: BLE001
+            print(f"RED  {name}: spark raised {type(e).__name__}: {e}")
+            bad += 1
+            continue
+        if name not in ORACLES:
+            print(f"WARN {name}: no oracle (rows-only); rows={len(sdf)}")
+            continue
+        try:
+            ddf = con.execute(ORACLES[name]).df()
+        except Exception as e:  # noqa: BLE001
+            print(f"RED  {name}: oracle raised {type(e).__name__}: {e}")
+            bad += 1
+            continue
+        issues = []
+        if sorted(sdf.columns) != sorted(ddf.columns):
+            issues.append(f"cols {sorted(sdf.columns)} vs {sorted(ddf.columns)}")
+        elif len(sdf) != len(ddf):
+            issues.append(f"rows {len(sdf)} vs {len(ddf)}")
+        else:
+            for c in sdf.columns:
+                fs, fd = dtype_family(sdf[c]), dtype_family(ddf[c])
+                if fs != fd:
+                    issues.append(f"dtype[{c}]: spark={fs} duck={fd}")
+        if issues:
+            print(f"RED  {name}: " + "; ".join(issues))
+            bad += 1
+        else:
+            print(f"ok   {name} rows={len(sdf)}")
+    print(f"\n{len(names) - bad}/{len(names)} strict-green")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
