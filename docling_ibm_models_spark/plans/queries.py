@@ -6680,6 +6680,241 @@ def corpus_source_overlap(spark, sf_dir):
     )
 
 
+_BM25_TERMS = ("spark", "join", "window")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+@register(
+    "corpus_bm25_topk",
+    oracle=f"""
+    WITH dls AS (
+      SELECT doc_id,
+             len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                             x -> x <> ''))::BIGINT AS dl
+      FROM documents
+    ),
+    stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dls),
+    hits AS (
+      SELECT doc_id, u.term, count(*)::BIGINT AS tf
+      FROM documents,
+           unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                              x -> x <> '')) AS u(term)
+      WHERE u.term IN ('{_BM25_TERMS[0]}', '{_BM25_TERMS[1]}',
+                       '{_BM25_TERMS[2]}')
+      GROUP BY 1, 2
+    ),
+    dfs AS (SELECT term, count(*)::BIGINT AS df FROM hits GROUP BY term),
+    scored AS (
+      SELECT h.doc_id,
+             count(*)::BIGINT AS n_hit_terms,
+             max(d.dl) AS dl,
+             sum(ln(1 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+                 * h.tf * ({_BM25_K1} + 1)
+                 / (h.tf + {_BM25_K1}
+                    * (1 - {_BM25_B} + {_BM25_B} * d.dl / s.avgdl))) AS s
+      FROM hits h
+      JOIN dfs f USING (term)
+      JOIN dls d USING (doc_id), stats s
+      GROUP BY h.doc_id
+    )
+    SELECT doc_id, n_hit_terms, dl, round(s, 6) AS score_bm25
+    FROM scored
+    ORDER BY round(s, 6) DESC, doc_id
+    LIMIT 20
+    """,
+)
+def corpus_bm25_topk(spark, sf_dir):
+    """BM25 ranked retrieval (Robertson/Lucene idf variant) — top-20
+    documents for a fixed 3-term query over the corpus, the relevance
+    scorer behind quality-targeted data selection (e.g. retrieving
+    in-domain training documents against a task seed query, DSIR-style).
+
+    100-TB shape: the doc length rides THROUGH the explode, so the
+    per-doc-per-term tf frame already carries ``dl`` and no O(N-docs)
+    length join ever happens; the hits scan FILTERS to the query's
+    terms before its shuffle, so the shuffled frame is
+    O(matching docs x |q|), not O(tokens), and that tiny tf frame is
+    materialized (``_materialize_scan``) so the df table (|q| rows) is
+    derived from it instead of rescanning the corpus — two corpus
+    scans total (hits + the length/avgdl scalar). df and (N, avgdl)
+    come back as broadcasts, so scoring is a codegen expression; the
+    global top-20 is Spark's TakeOrderedAndProject (per-partition heap
+    + single merge), never a full sort. Score rounded to 6 places on both sides so the engines'
+    ln/fp ULP drift cannot flip the hash. [engine addition:
+    ranked-retrieval primitive; reference has no corpus-level ops]"""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+    stats = docs.select(F.size(toks).alias("dl")).agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    hits = _materialize_scan(
+        docs.select(
+            "doc_id", F.size(toks).alias("dl"), F.explode(toks).alias("term")
+        )
+        .filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf")),
+        spark,
+    )
+    dfs = hits.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tfn = (
+        F.col("tf")
+        * (_BM25_K1 + 1)
+        / (
+            F.col("tf")
+            + _BM25_K1
+            * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    scored = (
+        hits.join(F.broadcast(dfs), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_hit_terms"),
+            F.max("dl").alias("dl"),
+            F.sum(idf * tfn).alias("s"),
+        )
+    )
+    return (
+        scored.select(
+            "doc_id",
+            "n_hit_terms",
+            "dl",
+            F.round("s", 6).alias("score_bm25"),
+        )
+        .orderBy(F.col("score_bm25").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+# Fixed merge vocabulary for the ENCODE side of BPE (priority order, as a
+# trained tokenizer ships it).  The chain s→sp→spa→spar→spark and
+# j+o / i+n / jo+in→join exercise cascaded priorities: later rules fuse
+# symbols earlier rules created.
+_BPE_ENCODE_MERGES = [
+    ("s", "p"), ("sp", "a"), ("spa", "r"), ("spar", "k"),
+    ("j", "o"), ("i", "n"), ("jo", "in"), ("t", "a"),
+]
+
+
+def _bpe_encode_oracle() -> str:
+    # One CTE per merge rule; each applies the training oracle's two-pass
+    # greedy replace (a replace consumes the separator space shared with
+    # an immediately following disjoint occurrence; misses are never
+    # adjacent, so the second pass is exact).
+    steps, prev = [], "e0"
+    for i, (l, r) in enumerate(_BPE_ENCODE_MERGES, 1):
+        pat, rep = f"' {l} {r} '", f"' {l}{r} '"
+        steps.append(
+            f"e{i} AS (SELECT w, replace(replace(ds, {pat}, {rep}),"
+            f" {pat}, {rep}) AS ds FROM {prev})"
+        )
+        prev = f"e{i}"
+    chain = ",\n    ".join(steps)
+    return f"""
+    WITH dw AS (
+      SELECT doc_id, u.w, count(*)::BIGINT AS c
+      FROM documents,
+           unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                              x -> x <> '')) AS u(w)
+      GROUP BY 1, 2
+    ),
+    e0 AS (
+      SELECT DISTINCT w,
+             ' ' || array_to_string(regexp_extract_all(w, '.'), ' ') || ' '
+               AS ds
+      FROM dw
+    ),
+    {chain},
+    enc AS (
+      SELECT w, len(string_split(trim(ds), ' '))::BIGINT AS enc_len
+      FROM {prev}
+    )
+    SELECT doc_id,
+           sum(c)::BIGINT AS n_words,
+           sum(c * len(w))::BIGINT AS n_chars_tok,
+           sum(c * enc_len)::BIGINT AS n_tokens_bpe
+    FROM dw JOIN enc USING (w)
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """
+
+
+@register("corpus_bpe_encode", oracle=_bpe_encode_oracle())
+def corpus_bpe_encode(spark, sf_dir):
+    """BPE tokenizer APPLICATION — encode every document with a shipped
+    merge vocabulary (the counterpart of ``corpus_bpe_merges``' training):
+    per document, the word count, pre-merge character-symbol count, and
+    post-merge BPE token count — the token-budget numbers a training-data
+    pipeline computes when it tokenizes a corpus for packing.
+
+    100-TB shape: the corpus is scanned ONCE — it collapses to a
+    materialized (doc_id, word, count) frame (``_materialize_scan``),
+    from which both the distinct-word vocabulary (Heaps-law bounded:
+    ~millions of types for 10^12 tokens, a few hundred MB encoded) and
+    the per-doc totals re-read a tiny columnar scan instead of the
+    corpus. Encoding is done ONCE PER DISTINCT WORD, never per
+    occurrence: each merge rule is a codegen ``F.aggregate`` fold over
+    the word's symbol array (the fused token can't re-fuse with the
+    next symbol, which IS greedy left-to-right non-overlap), and
+    per-doc totals come from re-joining the encoded lengths back on the
+    word (broadcast here; a shuffled hash join past broadcast size,
+    still O(vocab) not O(tokens)). Rules apply in priority order; a
+    single ordered pass is exact because merging only CREATES symbols,
+    so a later rule can never manufacture an adjacency an earlier
+    rule's pattern needed. No Python node anywhere. [engine addition:
+    tokenizer-application primitive]"""
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+        ).alias("w"),
+    )
+    dw = _materialize_scan(
+        words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c")),
+        spark,
+    )
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("w")),
+        lambda i: F.col("w").substr(i, F.lit(1)),
+    )
+    enc = dw.select("w").distinct().select("w", chars.alias("syms"))
+
+    def fuse(bl: str, br: str):
+        return F.aggregate(
+            "syms",
+            F.array().cast("array<string>"),
+            lambda acc, s: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(bl))
+                & (s == F.lit(br)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1),
+                    F.array(F.lit(bl + br)),
+                ),
+            ).otherwise(F.concat(acc, F.array(s))),
+        )
+
+    for bl, br in _BPE_ENCODE_MERGES:
+        enc = enc.select("w", fuse(bl, br).alias("syms"))
+    enc_len = enc.select("w", F.size("syms").alias("enc_len"))
+    return (
+        dw.join(F.broadcast(enc_len), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_words"),
+            F.sum(F.col("c") * F.length("w")).alias("n_chars_tok"),
+            F.sum(F.col("c") * F.col("enc_len")).alias("n_tokens_bpe"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # ===========================================================================
 # Registry ordering — the driver's CORRECTNESS check windows the FIRST 50
 # entries of ``queries()``.  Round 3 proved the window is a hard cap: the 40
@@ -6701,10 +6936,10 @@ _WINDOW_PRIORITY = [
     "pipeline_table_cells", "pipeline_reading_order", "pipeline_media_meta",
     "pipeline_table_profile", "ann_ivf_topk",
     "corpus_chunk_dedup",
-    "domain_stats", "link_pagerank", "corpus_unigram_surprisal",
+    "link_pagerank", "corpus_unigram_surprisal",
     "corpus_decontaminate", "events_skew_salted_join",
     "events_user_value_windows",
-    "corpus_cardinality_sketch", "ann_pq_topk", "events_json_props",
+    "corpus_cardinality_sketch", "ann_pq_topk",
     "corpus_url_blocklist", "corpus_cms_heavy_hitters",
     "corpus_curation_full", "corpus_sequence_packing", "domain_typosquat",
     # -- queries new/modified this round (r5) — need a driver row.
@@ -6720,6 +6955,7 @@ _WINDOW_PRIORITY = [
     "corpus_boilerplate_blocks", "warc_wet_roundtrip",
     "corpus_stratified_sample", "corpus_bpe_merges",
     "corpus_mixture_weights", "corpus_source_overlap",
+    "corpus_bm25_topk", "corpus_bpe_encode",
     "dense_rank_compaction",
     "dedup_clusters", "dedup_minhash_verified",
     "corpus_sequence_packing_stratified", "embedding_semdedup",
@@ -6748,7 +6984,10 @@ _WINDOW_PRIORITY = [
     #    training); corpus_hash_sample and pii_redaction (both r4 green,
     #    unchanged) cede for corpus_mixture_weights (temperature-scaled
     #    mixture math) and corpus_source_overlap (cross-source
-    #    contamination matrix). Every name here
+    #    contamination matrix); domain_stats and events_json_props (both
+    #    r4 green, unchanged) cede for corpus_bm25_topk (ranked
+    #    retrieval) and corpus_bpe_encode (tokenizer application with a
+    #    shipped merge vocabulary). Every name here
     #    either has
     #    no driver row in any round or changed materially since its last
     #    green row; after round 4 EVERY registered query has had a

@@ -1,0 +1,100 @@
+"""corpus_bm25_topk / corpus_bpe_encode vs sequential pure-Python
+reference implementations over the same parquet — independent of the
+DuckDB oracles (which tests/test_oracle_queries.py already runs)."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import pandas as pd
+
+from docling_ibm_models_spark.plans.queries import (
+    _BM25_B,
+    _BM25_K1,
+    _BM25_TERMS,
+    _BPE_ENCODE_MERGES,
+    QUERIES,
+)
+
+from .conftest import SF_SMALL
+
+
+def _docs() -> pd.DataFrame:
+    return pd.read_parquet(f"{SF_SMALL}/documents.parquet")
+
+
+def _tokens(text: str) -> list[str]:
+    return [w for w in str(text).lower().split() if w]
+
+
+def test_bm25_matches_sequential_reference(spark):
+    docs = _docs()
+    toks = {r.doc_id: _tokens(r.text) for r in docs.itertuples()}
+    n = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    df = Counter(
+        term
+        for t in toks.values()
+        for term in set(t) & set(_BM25_TERMS)
+    )
+    exp = []
+    for doc_id, t in toks.items():
+        tf = Counter(w for w in t if w in _BM25_TERMS)
+        if not tf:
+            continue
+        dl = len(t)
+        s = sum(
+            math.log(1 + (n - df[term] + 0.5) / (df[term] + 0.5))
+            * c
+            * (_BM25_K1 + 1)
+            / (c + _BM25_K1 * (1 - _BM25_B + _BM25_B * dl / avgdl))
+            for term, c in tf.items()
+        )
+        exp.append((doc_id, len(tf), dl, round(s, 6)))
+    exp.sort(key=lambda r: (-r[3], r[0]))
+    got = [tuple(r) for r in QUERIES["corpus_bm25_topk"](spark, SF_SMALL).collect()]
+    assert got == exp[:20]
+
+
+def _ref_encode(word: str) -> int:
+    syms = list(word)
+    for bl, br in _BPE_ENCODE_MERGES:
+        out: list[str] = []
+        for s in syms:
+            if out and out[-1] == bl and s == br:
+                out[-1] = bl + br
+            else:
+                out.append(s)
+        syms = out
+    return len(syms)
+
+
+def test_bpe_encode_cascaded_priorities():
+    """The rule chain s→sp→spa→spar→spark and j+o/i+n/jo+in must fuse
+    'spark' and 'join' to single tokens — later rules consume symbols
+    earlier rules created."""
+    assert _ref_encode("spark") == 1
+    assert _ref_encode("join") == 1
+    assert _ref_encode("spa") == 1  # stops mid-chain
+    assert _ref_encode("jon") == 2  # jo + n (i+n never fires without i)
+    assert _ref_encode("tata") == 2  # repeated-pair greedy scan
+
+
+def test_bpe_encode_matches_sequential_reference(spark):
+    docs = _docs()
+    exp = {}
+    for r in docs.itertuples():
+        t = _tokens(r.text)
+        if not t:
+            continue
+        exp[r.doc_id] = (
+            len(t),
+            sum(len(w) for w in t),
+            sum(_ref_encode(w) for w in t),
+        )
+    got = {
+        r.doc_id: (r.n_words, r.n_chars_tok, r.n_tokens_bpe)
+        for r in QUERIES["corpus_bpe_encode"](spark, SF_SMALL).collect()
+    }
+    assert got == exp

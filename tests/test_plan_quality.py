@@ -390,3 +390,38 @@ def test_source_overlap_joins_are_hash_joins(spark):
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
     assert "HashJoin" in plan
     assert "BatchEvalPython" not in plan  # shingling is the Arrow UDF only
+
+
+def test_bm25_topk_query_plan(spark):
+    """corpus_bm25_topk: the tf frame is a materialized temp-parquet scan
+    (so df derives from it, not a corpus rescan — exactly one documents
+    scan remains, the length/avgdl scalar), the df and stats frames come
+    back as broadcasts, the global top-20 is TakeOrderedAndProject (a
+    per-partition heap, never a full Sort+Limit), and nothing leaves
+    codegen for Python."""
+    plan = plan_of(QUERIES["corpus_bm25_topk"](spark, SF_MED))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan  # the |q|-row df join
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row (N, avgdl) frame
+    assert "CartesianProduct" not in plan
+    n_doc_scans = len(re.findall(r"Location:[^\n]*documents\.parquet", plan))
+    assert n_doc_scans == 1, f"{n_doc_scans} corpus scans (want 1: stats)"
+    assert len(re.findall(r"Location:[^\n]*dims_mat", plan)) == 2
+
+
+def test_bpe_encode_query_plan(spark):
+    """corpus_bpe_encode: the corpus collapses to the materialized
+    (doc_id, word, count) frame — ZERO documents scans remain in the
+    returned plan (vocab and totals both re-read the temp parquet), the
+    encoded-length join is a broadcast hash join, every merge fold is a
+    codegen expression (no Python nodes), and no window appears."""
+    plan = plan_of(QUERIES["corpus_bpe_encode"](spark, SF_MED))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "MapInPandas" not in plan
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    assert not re.findall(r"Location:[^\n]*documents\.parquet", plan)
+    assert len(re.findall(r"Location:[^\n]*dims_mat", plan)) == 2
