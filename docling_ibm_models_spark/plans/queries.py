@@ -6915,6 +6915,107 @@ def corpus_bpe_encode(spark, sf_dir):
     )
 
 
+_DSIR_BUCKETS = 4096
+_DSIR_TARGET = "src0"
+
+
+@register(
+    "corpus_dsir_importance",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             {_h32_sql("u.w", "dsir|")} % {_DSIR_BUCKETS} AS b
+      FROM documents,
+           unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                              x -> x <> '')) AS u(w)
+    ),
+    db AS (
+      SELECT doc_id, source, b, count(*)::BIGINT AS c
+      FROM toks GROUP BY 1, 2, 3
+    ),
+    stats AS (
+      SELECT b,
+             sum(CASE WHEN source = '{_DSIR_TARGET}' THEN c ELSE 0 END)
+               ::BIGINT AS ct,
+             sum(CASE WHEN source <> '{_DSIR_TARGET}' THEN c ELSE 0 END)
+               ::BIGINT AS cr
+      FROM db GROUP BY b
+    ),
+    tot AS (SELECT sum(ct) AS nt, sum(cr) AS nr FROM stats),
+    lr AS (
+      SELECT b, ln((ct + 1) / (nt + {_DSIR_BUCKETS}))
+                - ln((cr + 1) / (nr + {_DSIR_BUCKETS})) AS lw
+      FROM stats, tot
+    )
+    SELECT db.doc_id,
+           sum(db.c)::BIGINT AS n_tokens,
+           round(sum(db.c * lr.lw), 6) AS log_importance
+    FROM db JOIN lr USING (b)
+    GROUP BY db.doc_id
+    ORDER BY db.doc_id
+    """,
+)
+def corpus_dsir_importance(spark, sf_dir):
+    """DSIR data-selection importance weights (Xie et al. 2023): score
+    every document by how target-like it is — the log-ratio of two
+    hashed-unigram language models, target = the 'src0' source,
+    raw = everything else, features hash-tricked into 4096 buckets
+    (DSIR's own move: the LM state is a FIXED 4096-float vector however
+    big the corpus vocabulary grows), add-1 smoothing over the bucket
+    space, per-doc weight = sum over tokens of ln p_target(b) -
+    ln p_raw(b). The resampling step is then a weighted variant of
+    ``corpus_hash_sample`` / ``corpus_stratified_sample``.
+
+    100-TB shape: ONE corpus scan collapses to a materialized
+    (doc_id, source, bucket, count) frame; both bucket LMs come from a
+    single conditional aggregation over it (no second pass, no join
+    between target and raw), their totals from a 1-row broadcast, and
+    the per-doc score re-joins the 4096-row broadcast weight table —
+    so the only O(corpus) shuffle is the (doc, bucket) rollup. All
+    codegen; the md5-based bucket hash is the repo's cross-dialect
+    ``_h32``. [engine addition: data-selection primitive; pairs with
+    corpus_perplexity_filter (KenLM shape) and corpus_gopher_rules]"""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+        ).alias("w"),
+    ).select(
+        "doc_id",
+        "source",
+        (_h32_spark(F.col("w"), "dsir|") % _DSIR_BUCKETS).alias("b"),
+    )
+    db = _materialize_scan(
+        toks.groupBy("doc_id", "source", "b").agg(
+            F.count(F.lit(1)).alias("c")
+        ),
+        spark,
+    )
+    is_t = F.col("source") == _DSIR_TARGET
+    stats = db.groupBy("b").agg(
+        F.sum(F.when(is_t, F.col("c")).otherwise(F.lit(0))).alias("ct"),
+        F.sum(F.when(~is_t, F.col("c")).otherwise(F.lit(0))).alias("cr"),
+    )
+    tot = stats.agg(F.sum("ct").alias("nt"), F.sum("cr").alias("nr"))
+    lw = F.log((F.col("ct") + 1) / (F.col("nt") + _DSIR_BUCKETS)) - F.log(
+        (F.col("cr") + 1) / (F.col("nr") + _DSIR_BUCKETS)
+    )
+    lr = stats.crossJoin(F.broadcast(tot)).select("b", lw.alias("lw"))
+    return (
+        db.join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.round(F.sum(F.col("c") * F.col("lw")), 6).alias(
+                "log_importance"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # ===========================================================================
 # Registry ordering — the driver's CORRECTNESS check windows the FIRST 50
 # entries of ``queries()``.  Round 3 proved the window is a hard cap: the 40
@@ -6936,7 +7037,7 @@ _WINDOW_PRIORITY = [
     "pipeline_table_cells", "pipeline_reading_order", "pipeline_media_meta",
     "pipeline_table_profile", "ann_ivf_topk",
     "corpus_chunk_dedup",
-    "link_pagerank", "corpus_unigram_surprisal",
+    "link_pagerank",
     "corpus_decontaminate", "events_skew_salted_join",
     "events_user_value_windows",
     "corpus_cardinality_sketch", "ann_pq_topk",
@@ -6955,7 +7056,7 @@ _WINDOW_PRIORITY = [
     "corpus_boilerplate_blocks", "warc_wet_roundtrip",
     "corpus_stratified_sample", "corpus_bpe_merges",
     "corpus_mixture_weights", "corpus_source_overlap",
-    "corpus_bm25_topk", "corpus_bpe_encode",
+    "corpus_bm25_topk", "corpus_bpe_encode", "corpus_dsir_importance",
     "dense_rank_compaction",
     "dedup_clusters", "dedup_minhash_verified",
     "corpus_sequence_packing_stratified", "embedding_semdedup",
@@ -6987,7 +7088,10 @@ _WINDOW_PRIORITY = [
     #    contamination matrix); domain_stats and events_json_props (both
     #    r4 green, unchanged) cede for corpus_bm25_topk (ranked
     #    retrieval) and corpus_bpe_encode (tokenizer application with a
-    #    shipped merge vocabulary). Every name here
+    #    shipped merge vocabulary); corpus_unigram_surprisal (r4 green,
+    #    unchanged) cedes for corpus_dsir_importance (DSIR hashed-LM
+    #    log-ratio selection, the strictly richer unigram-LM query).
+    #    Every name here
     #    either has
     #    no driver row in any round or changed materially since its last
     #    green row; after round 4 EVERY registered query has had a

@@ -98,3 +98,50 @@ def test_bpe_encode_matches_sequential_reference(spark):
         for r in QUERIES["corpus_bpe_encode"](spark, SF_SMALL).collect()
     }
     assert got == exp
+
+
+def test_dsir_importance_matches_sequential_reference(spark):
+    """DSIR hashed-LM log-ratio weights vs a pure-Python reference
+    (bucket hash = the repo's cross-dialect md5 h32)."""
+    import hashlib
+    from collections import defaultdict
+
+    from docling_ibm_models_spark.plans.queries import (
+        _DSIR_BUCKETS,
+        _DSIR_TARGET,
+    )
+
+    def bucket(w: str) -> int:
+        h = int(hashlib.md5(("dsir|" + w).encode()).hexdigest()[:8], 16)
+        return h % _DSIR_BUCKETS
+
+    docs = _docs()
+    ct: dict[int, int] = defaultdict(int)
+    cr: dict[int, int] = defaultdict(int)
+    per_doc: dict[int, Counter] = {}
+    for r in docs.itertuples():
+        bs = Counter(bucket(w) for w in _tokens(r.text))
+        if bs:
+            per_doc[r.doc_id] = bs
+        tgt = r.source == _DSIR_TARGET
+        for b, c in bs.items():
+            (ct if tgt else cr)[b] += c
+    nt, nr = sum(ct.values()), sum(cr.values())
+
+    def lw(b: int) -> float:
+        return math.log((ct[b] + 1) / (nt + _DSIR_BUCKETS)) - math.log(
+            (cr[b] + 1) / (nr + _DSIR_BUCKETS)
+        )
+
+    exp = {
+        doc_id: (
+            sum(bs.values()),
+            round(sum(c * lw(b) for b, c in bs.items()), 6),
+        )
+        for doc_id, bs in per_doc.items()
+    }
+    got = {
+        r.doc_id: (r.n_tokens, r.log_importance)
+        for r in QUERIES["corpus_dsir_importance"](spark, SF_SMALL).collect()
+    }
+    assert got == exp

@@ -425,3 +425,21 @@ def test_bpe_encode_query_plan(spark):
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
     assert not re.findall(r"Location:[^\n]*documents\.parquet", plan)
     assert len(re.findall(r"Location:[^\n]*dims_mat", plan)) == 2
+
+
+def test_dsir_importance_query_plan(spark):
+    """corpus_dsir_importance: the corpus collapses to the materialized
+    (doc, source, bucket, count) frame — zero documents scans remain in
+    the returned plan; both bucket LMs come from ONE conditional
+    aggregation (no target/raw join); totals are a 1-row broadcast
+    nested-loop and the 4096-row weight table a broadcast hash join; no
+    Python nodes, no window."""
+    plan = plan_of(QUERIES["corpus_dsir_importance"](spark, SF_MED))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "MapInPandas" not in plan
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert not re.findall(r"Location:[^\n]*documents\.parquet", plan)
+    assert len(re.findall(r"Location:[^\n]*dims_mat", plan)) == 3
