@@ -7016,6 +7016,111 @@ def corpus_dsir_importance(spark, sf_dir):
     )
 
 
+_PHRASES = ("slow hash batch", "window fast query", "part filter scan")
+
+
+def _phrase_oracle() -> str:
+    vals = ", ".join(
+        f"('{p}', '{p.split()[0]}', '{p.split()[1]}', '{p.split()[2]}')"
+        for p in _PHRASES
+    )
+    vocab = ", ".join(
+        f"'{w}'" for w in sorted({w for p in _PHRASES for w in p.split()})
+    )
+    return f"""
+    WITH ph(phrase, p1, p2, p3) AS (VALUES {vals}),
+    toks AS (
+      SELECT doc_id, i AS pos, cs[i] AS w
+      FROM (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                           x -> x <> '') AS cs
+        FROM documents
+      ), unnest(range(1, len(cs) + 1)) u(i)
+      WHERE cs[i] IN ({vocab})
+    )
+    SELECT ph.phrase, t1.doc_id AS doc_id,
+           count(*)::BIGINT AS n_occurrences,
+           min(t1.pos)::BIGINT AS first_pos
+    FROM ph
+    JOIN toks t1 ON t1.w = ph.p1
+    JOIN toks t2 ON t2.doc_id = t1.doc_id AND t2.pos = t1.pos + 1
+                AND t2.w = ph.p2
+    JOIN toks t3 ON t3.doc_id = t1.doc_id AND t3.pos = t1.pos + 2
+                AND t3.w = ph.p3
+    GROUP BY ph.phrase, t1.doc_id
+    ORDER BY phrase, t1.doc_id
+    """
+
+
+@register("corpus_phrase_search", oracle=_phrase_oracle())
+def corpus_phrase_search(spark, sf_dir):
+    """Exact-phrase search by positional posting-list intersection — the
+    inverted-index primitive under every web search engine (and the
+    exact-match complement of ``corpus_bm25_topk``'s ranked retrieval):
+    for each query phrase, the documents containing it verbatim, with
+    occurrence count and first (1-based) token position. Overlapping
+    occurrences count individually, which substring/regex counting
+    cannot express — hence the position-chain oracle.
+
+    100-TB shape: ONE corpus scan posexplodes to (doc, pos, token) and
+    FILTERS to the phrases' vocabulary before anything shuffles — the
+    materialized posting frame is O(df of query words), not O(tokens),
+    exactly an inverted index's posting lists for the query terms. The
+    3-token chain is two hash self-joins on (doc_id, pos ± k) equality
+    keys (never a range or nested-loop), the tiny phrase table is a
+    broadcast, and the per-(phrase, doc) rollup is the only
+    O(matches) aggregation. [engine addition: search primitive]"""
+    docs = _t(spark, sf_dir, "documents")
+    vocab = sorted({w for p in _PHRASES for w in p.split()})
+    ph = spark.createDataFrame(
+        [(p, *p.split()) for p in _PHRASES],
+        "phrase string, p1 string, p2 string, p3 string",
+    )
+    toks = _materialize_scan(
+        docs.select(
+            "doc_id",
+            F.posexplode(
+                F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+            ).alias("pos", "w"),
+        ).filter(F.col("w").isin(vocab)),
+        spark,
+    )
+    t1 = toks.join(
+        F.broadcast(ph), F.col("w") == F.col("p1")
+    ).select("phrase", "doc_id", "pos", "p2", "p3")
+    t2 = toks.select(
+        F.col("doc_id").alias("d2"), F.col("pos").alias("pos2"),
+        F.col("w").alias("w2"),
+    )
+    t3 = toks.select(
+        F.col("doc_id").alias("d3"), F.col("pos").alias("pos3"),
+        F.col("w").alias("w3"),
+    )
+    m = (
+        t1.join(
+            t2,
+            (F.col("d2") == F.col("doc_id"))
+            & (F.col("pos2") == F.col("pos") + 1)
+            & (F.col("w2") == F.col("p2")),
+        )
+        .join(
+            t3,
+            (F.col("d3") == F.col("doc_id"))
+            & (F.col("pos3") == F.col("pos") + 2)
+            & (F.col("w3") == F.col("p3")),
+        )
+    )
+    return (
+        m.groupBy("phrase", "doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            (F.min("pos") + 1).alias("first_pos"),
+        )
+        .orderBy("phrase", "doc_id")
+    )
+
+
 # ===========================================================================
 # Registry ordering — the driver's CORRECTNESS check windows the FIRST 50
 # entries of ``queries()``.  Round 3 proved the window is a hard cap: the 40
@@ -7042,7 +7147,7 @@ _WINDOW_PRIORITY = [
     "events_user_value_windows",
     "corpus_cardinality_sketch", "ann_pq_topk",
     "corpus_url_blocklist", "corpus_cms_heavy_hitters",
-    "corpus_curation_full", "corpus_sequence_packing", "domain_typosquat",
+    "corpus_curation_full", "corpus_sequence_packing",
     # -- queries new/modified this round (r5) — need a driver row.
     #    warc_cdx_fetch (CDX offset read-back), corpus_surt_canonical
     #    (public-spec SURT canonicalizer) and corpus_robots_rules
@@ -7057,6 +7162,7 @@ _WINDOW_PRIORITY = [
     "corpus_stratified_sample", "corpus_bpe_merges",
     "corpus_mixture_weights", "corpus_source_overlap",
     "corpus_bm25_topk", "corpus_bpe_encode", "corpus_dsir_importance",
+    "corpus_phrase_search",
     "dense_rank_compaction",
     "dedup_clusters", "dedup_minhash_verified",
     "corpus_sequence_packing_stratified", "embedding_semdedup",
@@ -7090,7 +7196,9 @@ _WINDOW_PRIORITY = [
     #    retrieval) and corpus_bpe_encode (tokenizer application with a
     #    shipped merge vocabulary); corpus_unigram_surprisal (r4 green,
     #    unchanged) cedes for corpus_dsir_importance (DSIR hashed-LM
-    #    log-ratio selection, the strictly richer unigram-LM query).
+    #    log-ratio selection, the strictly richer unigram-LM query);
+    #    domain_typosquat (r4 green, unchanged) cedes for
+    #    corpus_phrase_search (positional posting-list intersection).
     #    Every name here
     #    either has
     #    no driver row in any round or changed materially since its last

@@ -145,3 +145,27 @@ def test_dsir_importance_matches_sequential_reference(spark):
         for r in QUERIES["corpus_dsir_importance"](spark, SF_SMALL).collect()
     }
     assert got == exp
+
+
+def test_phrase_search_matches_sequential_reference(spark):
+    """Positional posting intersection vs a naive per-doc scan, including
+    the overlapping-occurrence semantics substring counting misses."""
+    from docling_ibm_models_spark.plans.queries import _PHRASES
+
+    docs = _docs()
+    exp = {}
+    for r in docs.itertuples():
+        t = _tokens(r.text)
+        for p in _PHRASES:
+            ws = p.split()
+            hits = [
+                i for i in range(len(t) - len(ws) + 1)
+                if t[i : i + len(ws)] == ws
+            ]
+            if hits:
+                exp[(p, r.doc_id)] = (len(hits), hits[0] + 1)
+    got = {
+        (r.phrase, r.doc_id): (r.n_occurrences, r.first_pos)
+        for r in QUERIES["corpus_phrase_search"](spark, SF_SMALL).collect()
+    }
+    assert got == exp

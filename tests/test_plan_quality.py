@@ -443,3 +443,17 @@ def test_dsir_importance_query_plan(spark):
     assert "CartesianProduct" not in plan
     assert not re.findall(r"Location:[^\n]*documents\.parquet", plan)
     assert len(re.findall(r"Location:[^\n]*dims_mat", plan)) == 3
+
+
+def test_phrase_search_query_plan(spark):
+    """corpus_phrase_search: the corpus collapses to the materialized
+    query-vocabulary posting frame (zero documents scans remain); the
+    position chain is hash joins only — no CartesianProduct, no
+    NestedLoop against the posting lists, no Python nodes, no window."""
+    plan = plan_of(QUERIES["corpus_phrase_search"](spark, SF_MED))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert not re.findall(r"Location:[^\n]*documents\.parquet", plan)
+    assert len(re.findall(r"Location:[^\n]*dims_mat", plan)) == 3
