@@ -6680,6 +6680,21 @@ def corpus_source_overlap(spark, sf_dir):
     )
 
 
+# Shared whitespace tokenization for the round-5 corpus queries (bm25 /
+# bpe_encode / dsir / phrase_search): lowercase, split on \s+, drop empty
+# strings. Tokenization identity between a Spark query and its oracle is
+# load-bearing for the driver hash — keep BOTH dialects pinned here, never
+# inline a variant in one side only. (The older lang_id/token_count family
+# keeps its separate trim()+split spelling with matching oracles.)
+_WS_TOKS_SQL = (
+    "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')"
+)
+
+
+def _ws_toks_spark():
+    return F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+
+
 _BM25_TERMS = ("spark", "join", "window")
 _BM25_K1, _BM25_B = 1.2, 0.75
 
@@ -6689,16 +6704,14 @@ _BM25_K1, _BM25_B = 1.2, 0.75
     oracle=f"""
     WITH dls AS (
       SELECT doc_id,
-             len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
-                             x -> x <> ''))::BIGINT AS dl
+             len({_WS_TOKS_SQL})::BIGINT AS dl
       FROM documents
     ),
     stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dls),
     hits AS (
       SELECT doc_id, u.term, count(*)::BIGINT AS tf
       FROM documents,
-           unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
-                              x -> x <> '')) AS u(term)
+           unnest({_WS_TOKS_SQL}) AS u(term)
       WHERE u.term IN ('{_BM25_TERMS[0]}', '{_BM25_TERMS[1]}',
                        '{_BM25_TERMS[2]}')
       GROUP BY 1, 2
@@ -6743,7 +6756,7 @@ def corpus_bm25_topk(spark, sf_dir):
     ln/fp ULP drift cannot flip the hash. [engine addition:
     ranked-retrieval primitive; reference has no corpus-level ops]"""
     docs = _t(spark, sf_dir, "documents")
-    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+    toks = _ws_toks_spark()
     stats = docs.select(F.size(toks).alias("dl")).agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     )
@@ -6799,6 +6812,15 @@ _BPE_ENCODE_MERGES = [
     ("s", "p"), ("sp", "a"), ("spa", "r"), ("spar", "k"),
     ("j", "o"), ("i", "n"), ("jo", "in"), ("t", "a"),
 ]
+# The two-pass-replace oracle and the greedy fold agree only when no rule
+# fuses a symbol with ITSELF: for bl == br on an odd-length run the
+# string replace segments right-to-left-ish ([aaa][aa]) while the greedy
+# fold is strictly left-to-right ([aa][aa]a → different once later rules
+# consume those symbols). Guard the invariant at import time so extending
+# the merge table can't silently desynchronize query and oracle.
+assert all(bl != br for bl, br in _BPE_ENCODE_MERGES), (
+    "bl == br merge rules break the two-pass-replace oracle equivalence"
+)
 
 
 def _bpe_encode_oracle() -> str:
@@ -6819,8 +6841,7 @@ def _bpe_encode_oracle() -> str:
     WITH dw AS (
       SELECT doc_id, u.w, count(*)::BIGINT AS c
       FROM documents,
-           unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
-                              x -> x <> '')) AS u(w)
+           unnest({_WS_TOKS_SQL}) AS u(w)
       GROUP BY 1, 2
     ),
     e0 AS (
@@ -6872,7 +6893,7 @@ def corpus_bpe_encode(spark, sf_dir):
     words = docs.select(
         "doc_id",
         F.explode(
-            F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+            _ws_toks_spark()
         ).alias("w"),
     )
     dw = _materialize_scan(
@@ -6926,8 +6947,7 @@ _DSIR_TARGET = "src0"
       SELECT doc_id, source,
              {_h32_sql("u.w", "dsir|")} % {_DSIR_BUCKETS} AS b
       FROM documents,
-           unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
-                              x -> x <> '')) AS u(w)
+           unnest({_WS_TOKS_SQL}) AS u(w)
     ),
     db AS (
       SELECT doc_id, source, b, count(*)::BIGINT AS c
@@ -6980,7 +7000,7 @@ def corpus_dsir_importance(spark, sf_dir):
         "doc_id",
         "source",
         F.explode(
-            F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+            _ws_toks_spark()
         ).alias("w"),
     ).select(
         "doc_id",
@@ -6994,9 +7014,15 @@ def corpus_dsir_importance(spark, sf_dir):
         spark,
     )
     is_t = F.col("source") == _DSIR_TARGET
-    stats = db.groupBy("b").agg(
-        F.sum(F.when(is_t, F.col("c")).otherwise(F.lit(0))).alias("ct"),
-        F.sum(F.when(~is_t, F.col("c")).otherwise(F.lit(0))).alias("cr"),
+    # materialize the <=4096-row bucket rollup so `tot` re-reads IT rather
+    # than re-running the corpus-scale (doc, bucket) aggregation (the one
+    # genuinely single conditional pass over db)
+    stats = _materialize_scan(
+        db.groupBy("b").agg(
+            F.sum(F.when(is_t, F.col("c")).otherwise(F.lit(0))).alias("ct"),
+            F.sum(F.when(~is_t, F.col("c")).otherwise(F.lit(0))).alias("cr"),
+        ),
+        spark,
     )
     tot = stats.agg(F.sum("ct").alias("nt"), F.sum("cr").alias("nr"))
     lw = F.log((F.col("ct") + 1) / (F.col("nt") + _DSIR_BUCKETS)) - F.log(
@@ -7033,8 +7059,7 @@ def _phrase_oracle() -> str:
       SELECT doc_id, i AS pos, cs[i] AS w
       FROM (
         SELECT doc_id,
-               list_filter(regexp_split_to_array(lower(text), '\\s+'),
-                           x -> x <> '') AS cs
+               {_WS_TOKS_SQL} AS cs
         FROM documents
       ), unnest(range(1, len(cs) + 1)) u(i)
       WHERE cs[i] IN ({vocab})
@@ -7081,7 +7106,7 @@ def corpus_phrase_search(spark, sf_dir):
         docs.select(
             "doc_id",
             F.posexplode(
-                F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+                _ws_toks_spark()
             ).alias("pos", "w"),
         ).filter(F.col("w").isin(vocab)),
         spark,

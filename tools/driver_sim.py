@@ -1,11 +1,14 @@
 """Stricter driver simulation: for each _WINDOW_PRIORITY query, compare the
 Spark result against the DuckDB oracle with pandas-dtype sensitivity.
 
-The driver hashes values after a pandas conversion, so a DuckDB HUGEINT
-(object dtype in pandas) vs Spark BIGINT (int64) mismatches even when every
-value is equal (round-4 lesson).  tests/test_oracle_queries.py normalizes
-types away; this script does not — it flags any column whose pandas dtype
-family differs between the two sides.
+The driver hashes values after a pandas conversion (columns sorted by
+name, rows order-insensitive), so a DuckDB HUGEINT (object dtype in
+pandas) vs Spark BIGINT (int64) mismatches even when every value is equal
+(round-4 lesson), and a value drift smaller than test_oracle_queries'
+round(4) normalization still flips the hash.  This script therefore
+checks BOTH: pandas dtype families AND exact raw-value equality over
+name-sorted columns and sorted rows — strictly stronger than the
+normalized oracle test.
 
 Run: python tools/driver_sim.py [start [end]]
 """
@@ -84,6 +87,18 @@ def main() -> int:
                 fs, fd = dtype_family(sdf[c]), dtype_family(ddf[c])
                 if fs != fd:
                     issues.append(f"dtype[{c}]: spark={fs} duck={fd}")
+            if not issues:
+                # driver-hash fidelity: exact raw values, name-sorted
+                # columns, row order insensitive
+                s = sdf[sorted(sdf.columns)]
+                d = ddf[sorted(ddf.columns)]
+                srows = sorted(map(tuple, s.itertuples(index=False)))
+                drows = sorted(map(tuple, d.itertuples(index=False)))
+                if srows != drows:
+                    diff = [
+                        (a, b) for a, b in zip(srows, drows) if a != b
+                    ][:2]
+                    issues.append(f"raw values differ, e.g. {diff}")
         if issues:
             print(f"RED  {name}: " + "; ".join(issues))
             bad += 1
