@@ -6823,6 +6823,27 @@ assert all(bl != br for bl, br in _BPE_ENCODE_MERGES), (
 )
 
 
+def _bpe_fuse(col, bl: str, br: str):
+    """Greedy left-to-right non-overlapping fuse of the (bl, br) symbol
+    pair over a symbol-array column — one codegen ``F.aggregate`` fold
+    (the fused token can never re-fuse with the next ``br``, which IS
+    the greedy scan). Module-level so the randomized property test can
+    drive it with arbitrary rule tables."""
+    return F.aggregate(
+        col,
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(bl))
+            & (s == F.lit(br)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.lit(bl + br)),
+            ),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
 def _bpe_encode_oracle() -> str:
     # One CTE per merge rule; each applies the training oracle's two-pass
     # greedy replace (a replace consumes the separator space shared with
@@ -6905,24 +6926,8 @@ def corpus_bpe_encode(spark, sf_dir):
         lambda i: F.col("w").substr(i, F.lit(1)),
     )
     enc = dw.select("w").distinct().select("w", chars.alias("syms"))
-
-    def fuse(bl: str, br: str):
-        return F.aggregate(
-            "syms",
-            F.array().cast("array<string>"),
-            lambda acc, s: F.when(
-                (F.size(acc) > 0)
-                & (F.element_at(acc, -1) == F.lit(bl))
-                & (s == F.lit(br)),
-                F.concat(
-                    F.slice(acc, 1, F.size(acc) - 1),
-                    F.array(F.lit(bl + br)),
-                ),
-            ).otherwise(F.concat(acc, F.array(s))),
-        )
-
     for bl, br in _BPE_ENCODE_MERGES:
-        enc = enc.select("w", fuse(bl, br).alias("syms"))
+        enc = enc.select("w", _bpe_fuse("syms", bl, br).alias("syms"))
     enc_len = enc.select("w", F.size("syms").alias("enc_len"))
     return (
         dw.join(F.broadcast(enc_len), "w")

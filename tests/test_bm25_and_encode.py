@@ -169,3 +169,86 @@ def test_phrase_search_matches_sequential_reference(spark):
         for r in QUERIES["corpus_phrase_search"](spark, SF_SMALL).collect()
     }
     assert got == exp
+
+
+def test_bpe_fuse_randomized_against_reference(spark):
+    """One Spark job folds a random rule chain over 400 random words;
+    every resulting symbol sequence must equal the sequential reference
+    encoder — including pathological repeated-pair runs."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from docling_ibm_models_spark.plans.queries import _bpe_fuse
+
+    rng = random.Random(20260819)
+    words = ["".join(rng.choice("abcd") for _ in range(rng.randint(1, 12)))
+             for _ in range(400)]
+    words += ["abababab", "aaaa" "bbbb", "abcabcabc", "a", "dcba" * 3]
+    # bl == br is fine for the FOLD itself (strict greedy left-to-right);
+    # only the two-pass-replace ORACLE requires bl != br (guarded at
+    # import in queries.py) — so include one to pin the fold's semantics.
+    rules = [("a", "b"), ("ab", "c"), ("d", "a"), ("ab", "ab"), ("c", "d")]
+
+    def ref(word):
+        syms = list(word)
+        for bl, br in rules:
+            out = []
+            for s in syms:
+                if out and out[-1] == bl and s == br:
+                    out[-1] = bl + br
+                else:
+                    out.append(s)
+            syms = out
+        return syms
+
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("w")),
+        lambda i: F.col("w").substr(i, F.lit(1)),
+    )
+    df = spark.createDataFrame([(w,) for w in set(words)], "w string").select(
+        "w", chars.alias("syms")
+    )
+    for bl, br in rules:
+        df = df.select("w", _bpe_fuse("syms", bl, br).alias("syms"))
+    got = {r.w: list(r.syms) for r in df.collect()}
+    assert got == {w: ref(w) for w in set(words)}
+
+
+def test_phrase_search_overlapping_occurrences(spark, tmp_path, monkeypatch):
+    """Self-overlapping phrases on a synthetic corpus: 'a a a' occurs 3
+    times in 'a a a a a' (positions 1, 2, 3 — overlapping), which is the
+    semantics the position-chain join claims and substring counting
+    cannot produce."""
+    import pandas as pd
+
+    import docling_ibm_models_spark.plans.queries as q
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "a a a a a",          # 3 overlapping occurrences of 'a a a'
+                "a a b a a a",        # 1 (positions 4..6)
+                "x y z",              # 0
+                "a b a b a b a",      # 'a b a' overlapping at 1, 3, 5
+            ],
+            "lang": ["en"] * 4,
+            "source": ["src0"] * 4,
+            "n_chars": [9, 11, 5, 13],
+        }
+    )
+    sf = tmp_path / "sfsyn"
+    sf.mkdir()
+    docs.to_parquet(sf / "documents.parquet")
+    monkeypatch.setattr(q, "_PHRASES", ("a a a", "a b a"))
+    got = {
+        (r.phrase, r.doc_id): (r.n_occurrences, r.first_pos)
+        for r in q.corpus_phrase_search(spark, str(sf)).collect()
+    }
+    assert got == {
+        ("a a a", 1): (3, 1),
+        ("a a a", 2): (1, 4),
+        ("a b a", 2): (1, 2),
+        ("a b a", 4): (3, 1),
+    }
