@@ -1770,11 +1770,80 @@ def _shingles3_py(text):  # noqa: C901 (kept in lockstep with the SQL twin)
 
 
 def _shingles_spark(docs):
-    # pandas_udf construction needs an active SparkSession -> build lazily
-    udf = F.pandas_udf(_shingles3_py, "array<string>")
+    # pandas_udf construction needs an active SparkSession -> build lazily.
+    # asNondeterministic: the filter on the UDF-computed column otherwise
+    # gets pushed below the projection and the optimizer re-evaluates the
+    # UDF once under the filter and once in the project — two
+    # ArrowEvalPython nodes per consumer for one logical call (guide §4.4;
+    # measured in the round-6 before-plans: every shingle consumer carried
+    # the doubled node). The function itself is pure/deterministic; the
+    # flag only forbids the optimizer from duplicating or reordering it.
+    udf = F.pandas_udf(_shingles3_py, "array<string>").asNondeterministic()
     return docs.select("doc_id", udf("text").alias("shingles")).where(
         F.col("shingles").isNotNull()
     )
+
+
+# ---------------------------------------------------------------------------
+# Vectorized sliding-window derivations (round-6 optimization).
+#
+# The pure-Catalyst spelling of "all n-grams / fixed-width chunks of a
+# split-word array" — ``transform(sequence(0, n_windows), i ->
+# array_join(slice(words, f(i), k), ' '))`` — runs INTERPRETED per element
+# (higher-order functions are not whole-stage-codegen'd), and the
+# per-window ``slice`` re-materializes k tokens each step. Measured at
+# sf0.1 (guide §1): the 3-gram HOF derivation alone was 3.28 s vs 0.49 s
+# for the Arrow-batched twin below — the same ~7× the shingle kernel
+# documented in round 1. These helpers keep tokenization EXACTLY in
+# lockstep with the Catalyst spelling they replace (Java regex \s+ split,
+# no empty-token filtering unless the caller did), and the queries keep
+# their oracles unchanged.
+# ---------------------------------------------------------------------------
+
+
+def _slide_join_py(texts, k: int, step: int, drop_tail: bool, min_k: bool):
+    """Shared kernel: per text, space-joined k-token windows every ``step``
+    tokens over ``re.split(r'\\s+', text)`` (the Python twin of Spark's
+    ``split(text, '\\s+')`` on this ASCII corpus — same precedent as
+    ``_shingles3_py``). ``drop_tail`` drops the ragged tail window
+    (chunking) instead of keeping it; ``min_k`` emits nothing when the doc
+    has fewer than k tokens (sliding n-grams)."""
+    import re
+
+    ws_re = re.compile(r"\s+")
+    out = []
+    for t in texts:
+        if t is None:
+            out.append([])
+            continue
+        w = ws_re.split(t)
+        n = len(w)
+        if min_k and n < k:
+            out.append([])
+            continue
+        if drop_tail:
+            stops = range(0, (n // k) * k, step)
+        else:
+            stops = range(0, max(n - k + 1, 1) if min_k else n, step)
+        out.append([" ".join(w[i : i + k]) for i in stops])
+    return out
+
+
+def _grams3_py(texts):
+    # All consecutive 3-grams (duplicates kept) of split(text, '\s+') —
+    # the vectorized twin of transform(sequence(0, size(words)-3), i ->
+    # array_join(slice(words, i+1, 3), ' ')).
+    import pandas as pd
+
+    return pd.Series(_slide_join_py(texts, 3, 1, drop_tail=False, min_k=True))
+
+
+def _grams3_spark(df):
+    """doc_id + exploded 3-gram rows; output identical to the former
+    Catalyst HOF derivation (asserted in tests/test_oracle_queries.py via
+    the unchanged oracles)."""
+    u = F.pandas_udf(_grams3_py, "array<string>").asNondeterministic()
+    return df.select("doc_id", F.explode(u("text")).alias("g"))
 
 
 NGRAM_DF_CAP = 100  # stop-phrase cap; mirrored in the oracle SQL below
@@ -3753,18 +3822,27 @@ def corpus_chunk_dedup(spark, sf_dir):
     [ref: CCNet (Wenzek et al. 2020) paragraph dedup; reference engine has
     no corpus-level ops — engine addition per the graft brief]"""
     d = _t(spark, sf_dir, "documents")
-    words = F.split(F.col("text"), r"\s+")
-    nch = F.floor(F.size(words) / F.lit(5)).cast("int")
-    idxs = F.when(nch >= 1, F.sequence(F.lit(0), nch - 1)).otherwise(
-        F.array().cast("array<int>")
-    )
-    chunks = F.transform(
-        idxs, lambda i: F.array_join(F.slice(words, i * 5 + 1, 5), " ")
-    )
-    hashed = (
-        d.select("doc_id", F.explode(chunks).alias("chunk"))
-        .select("doc_id", _h32_spark(F.col("chunk")).alias("h"))
-    )
+
+    # Round-6: chunking + hashing vectorized in one Arrow batch kernel —
+    # the interpreted transform+slice HOF re-materialized 5 tokens per
+    # chunk per step and the md5 ran on the exploded chunk strings; here
+    # only the 8-byte hashes leave Python (guide §4.2 — and §2.3: narrower
+    # rows into the groupBy exchange). int(md5(utf8)[:8], 16) is exactly
+    # _h32_spark's conv(substr(md5(s),1,8),16,10)::long.
+    def _chunk_hashes_py(texts):
+        import hashlib
+
+        import pandas as pd
+
+        return pd.Series(
+            [
+                [int(hashlib.md5(c.encode("utf-8")).hexdigest()[:8], 16) for c in cs]
+                for cs in _slide_join_py(texts, 5, 5, drop_tail=True, min_k=False)
+            ]
+        )
+
+    u = F.pandas_udf(_chunk_hashes_py, "array<bigint>").asNondeterministic()
+    hashed = d.select("doc_id", F.explode(u("text")).alias("h"))
     freq = hashed.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
     dup = F.count(F.when(F.col("c") > 1, F.lit(1))).alias("n_dup_chunks")
     return (
@@ -4185,24 +4263,16 @@ def corpus_decontaminate(spark, sf_dir):
     millions of rows → broadcast; training grams never self-join and the
     gram string can be replaced by its 8-byte hash on the wire. The
     oracle builds the same grams via an unnest+range window-join (an
-    intentionally different formulation)."""
+    intentionally different formulation).
+
+    Round-6: gram derivation moved from the interpreted Catalyst HOF
+    (transform+slice per index) to the Arrow-batched ``_grams3_spark``
+    kernel — measured 3.7 s → 1.1 s at sf0.1 for identical rows (the
+    doc_id filters still push to the scan, so each side shingles only its
+    own slice)."""
     docs = _t(spark, sf_dir, "documents")
-
-    def grams(df):
-        words = F.split(F.col("text"), r"\s+")
-        n = F.size(words)
-        idxs = F.when(n >= 3, F.sequence(F.lit(0), n - 3)).otherwise(
-            F.array().cast("array<int>")
-        )
-        return df.select(
-            "doc_id",
-            F.explode(
-                F.transform(idxs, lambda i: F.array_join(F.slice(words, i + 1, 3), " "))
-            ).alias("g"),
-        )
-
-    bench = grams(docs.where(F.col("doc_id") % 97 == 0)).select("g").distinct()
-    train = grams(docs.where(F.col("doc_id") % 97 != 0))
+    bench = _grams3_spark(docs.where(F.col("doc_id") % 97 == 0)).select("g").distinct()
+    train = _grams3_spark(docs.where(F.col("doc_id") % 97 != 0))
     return (
         train.join(F.broadcast(bench), "g")
         .groupBy("doc_id")
@@ -4835,22 +4905,12 @@ def corpus_curation_full(spark, sf_dir):
     )
     s4 = s3.join(dedup, "doc_id").where(~F.col("is_dup")).select(s3["*"])
 
-    def grams(df):
-        words = F.split(F.col("text"), r"\s+")
-        n = F.size(words)
-        idxs = F.when(n >= 3, F.sequence(F.lit(0), n - 3)).otherwise(
-            F.array().cast("array<int>")
-        )
-        return df.select(
-            "doc_id",
-            F.explode(
-                F.transform(idxs, lambda i: F.array_join(F.slice(words, i + 1, 3), " "))
-            ).alias("g"),
-        )
-
-    bench = grams(docs.where(F.col("doc_id") % 97 == 0)).select("g").distinct()
+    # Round-6: grams via the Arrow-batched _grams3_spark kernel (identical
+    # rows; the interpreted transform+slice HOF was the dominant stage —
+    # see corpus_decontaminate).
+    bench = _grams3_spark(docs.where(F.col("doc_id") % 97 == 0)).select("g").distinct()
     contam = (
-        grams(s4).join(F.broadcast(bench), "g").select("doc_id").distinct()
+        _grams3_spark(s4).join(F.broadcast(bench), "g").select("doc_id").distinct()
         .withColumn("is_contam", F.lit(True))
     )
     stage = (
@@ -5597,20 +5657,42 @@ def dedup_substring_windows(spark, sf_dir):
     hash + doc_id ride the exchange."""
     k = 8
     docs = _t(spark, sf_dir, "documents")
-    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != F.lit(""))
-    wins = (
-        docs.select("doc_id", toks.alias("t"))
-        .where(F.size("t") >= k)
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    f"transform(sequence(0, size(t) - {k}), i -> "
-                    f"cast(conv(substr(md5(concat_ws(' ', slice(t, i + 1, {k}))), 1, 8), 16, 10) as bigint))"
-                )
-            ).alias("h"),
-        )
-    )
+
+    # Round-6: window hashing vectorized in one Arrow batch kernel — the
+    # interpreted transform ran slice+concat_ws+md5 per window per row;
+    # here only the 8-byte window hashes leave Python (guide §4.2).
+    # Tokenization mirrors filter(split(text,'\s+'), x -> x != '') and
+    # int(md5(utf8)[:8], 16) is _h32_spark's conv chain; docs with < k
+    # tokens emit no windows, exactly like the former where(size >= k).
+    def _win_hashes_py(texts):
+        import hashlib
+        import re
+
+        import pandas as pd
+
+        ws_re = re.compile(r"\s+")
+        out = []
+        for t in texts:
+            w = [x for x in ws_re.split(t)] if t is not None else []
+            w = [x for x in w if x != ""]
+            if len(w) < k:
+                out.append([])
+                continue
+            out.append(
+                [
+                    int(
+                        hashlib.md5(
+                            " ".join(w[i : i + k]).encode("utf-8")
+                        ).hexdigest()[:8],
+                        16,
+                    )
+                    for i in range(len(w) - k + 1)
+                ]
+            )
+        return pd.Series(out)
+
+    u = F.pandas_udf(_win_hashes_py, "array<bigint>").asNondeterministic()
+    wins = docs.select("doc_id", F.explode(u("text")).alias("h"))
     stats = wins.groupBy("h").agg(F.count_distinct("doc_id").alias("ndocs"))
     return (
         wins.join(stats, "h")
@@ -5753,16 +5835,20 @@ def corpus_line_dedup(spark, sf_dir):
     [ref: C4 dedup rule, public literature; reference engine has no
     corpus ops — engine addition per the graft brief]"""
     d = _t(spark, sf_dir, "documents")
-    words = F.split(F.col("text"), r"\s+")
-    nln = F.ceil(F.size(words) / F.lit(10)).cast("int")
-    idxs = F.when(nln >= 1, F.sequence(F.lit(0), nln - 1)).otherwise(
-        F.array().cast("array<int>")
-    )
-    lines = F.transform(
-        idxs, lambda i: F.array_join(F.slice(words, i * 10 + 1, 10), " ")
-    )
+
+    # Round-6: line derivation via the Arrow-batched sliding kernel
+    # (ragged tail kept = no tail drop, step == width); the line STRING
+    # must survive for the clean_text reassembly, so the 32-bit hash stays
+    # the JVM codegen _h32_spark over the exploded column — only the
+    # interpreted transform+slice HOF is replaced.
+    def _lines10_py(texts):
+        import pandas as pd
+
+        return pd.Series(_slide_join_py(texts, 10, 10, drop_tail=False, min_k=False))
+
+    u = F.pandas_udf(_lines10_py, "array<string>").asNondeterministic()
     hashed = d.select(
-        "doc_id", F.posexplode(lines).alias("line_idx", "line")
+        "doc_id", F.posexplode(u("text")).alias("line_idx", "line")
     ).withColumn("h", _h32_spark(F.col("line")))
     # first occurrence per distinct line: map-side-combinable min-struct agg
     keep = hashed.groupBy("h").agg(
