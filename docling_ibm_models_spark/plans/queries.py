@@ -91,6 +91,22 @@ _MAT_SCRATCH: str | None = None
 _MAT_SEQ = 0
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Input-layout parallelism guard (guide §2.5, "input skew: one huge
+    unsplittable file … repartition immediately after the read"): when the
+    scan yields fewer partitions than the session's default parallelism —
+    the sandbox ``documents`` table is ONE small parquet file, so every
+    downstream narrow stage (including Arrow-batched kernels) would run as
+    ONE task on a 32-core session — hash-repartition on doc_id to the
+    default parallelism. The condition is scale-adaptive, not a local
+    tuning: at production scale the scan already has >= cores byte-balanced
+    splits and this returns the input unchanged (no extra exchange)."""
+    p = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        return df.repartition(p, "doc_id")
+    return df
+
+
 def register(name: str, oracle: str | None = None):
     def deco(fn):
         QUERIES[name] = fn
@@ -1884,9 +1900,18 @@ def dedup_ngram_jaccard(spark, sf_dir):
     df > cap shingles are stop-phrases whose self-join blow-up is Σdf²
     (quadratic — the round-1 scale-killer); capping them is the standard
     near-dup practice (cf. CCNet/SlimPajama) and is mirrored exactly in the
-    oracle, so results stay comparable."""
-    docs = _t(spark, sf_dir, "documents")
-    sh = _shingles_spark(docs)
+    oracle, so results stay comparable.
+
+    Round-6: the shingle frame is materialized ONCE (distributed temp-
+    parquet scan). The lazily-composed plan evaluated the shingling UDF in
+    five separate subtrees (both self-join sides, the df prune, both size
+    lookups), each doubled by filter-pushdown duplication before
+    _shingles_spark went nondeterministic — ~10 ArrowEvalPython corpus
+    scans for one logical shingling (round-6 before-plan). At 10^12 docs
+    the same call is the standard write-the-shingle-table-once shape
+    (guide §2.3)."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    sh = _materialize_scan(_shingles_spark(docs), spark)
     ex = sh.select("doc_id", F.explode("shingles").alias("s"))
     sizes = sh.select("doc_id", F.size("shingles").alias("n"))
     shared = (
@@ -1951,7 +1976,7 @@ def _minhash_bands(spark, sf_dir, sh=None):
     Pass a (cached) ``sh`` shingle-set DataFrame to share its computation
     with other consumers in the same plan."""
     if sh is None:
-        sh = _shingles_spark(_t(spark, sf_dir, "documents"))
+        sh = _shingles_spark(_spread(_t(spark, sf_dir, "documents")))
     ex = sh.select("doc_id", F.explode("shingles").alias("s"))
     hashes = ex.groupBy("doc_id").agg(
         *[
@@ -1983,7 +2008,14 @@ def _minhash_bands(spark, sf_dir, sh=None):
 
 
 def _lsh_candidates(spark, sf_dir, sh=None):
-    bands = _minhash_bands(spark, sf_dir, sh=sh)
+    # Round-6: the band frame is materialized before the self-join — the
+    # lazy plan re-derived shingles → explode → 8-way min agg → band
+    # explode ONCE PER JOIN SIDE (no exchange reuse across the a/b
+    # aliases; before-plan showed 2× the ArrowEvalPython + groupBy chain).
+    # The materialized frame is |docs| × n_bands tiny rows; at 10^12 docs
+    # writing the signature table once before candidate generation is the
+    # standard MinHash-LSH pipeline shape.
+    bands = _materialize_scan(_minhash_bands(spark, sf_dir, sh=sh), spark)
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -2061,7 +2093,7 @@ def dedup_minhash_verified(spark, sf_dir):
     ``_materialize_scan``) before the shingle cache is released — same
     eager cache hygiene as before, but no rows ever pass through the
     driver, so the query stays safe at 10^12-doc pair volumes."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     sh = _shingles_spark(docs).persist()
     try:
         cand = _lsh_candidates(spark, sf_dir, sh=sh)
@@ -2219,7 +2251,7 @@ _HAMMING_MAX = 3
 def _simhash32_df(spark, sf_dir):
     """32-bit simhash sketches (same construction as dedup_simhash at
     _SIMHASH_BITS — per-word hash bit votes)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     words = docs.select(
         "doc_id",
         F.explode(
@@ -2288,8 +2320,17 @@ def dedup_simhash_pairs(spark, sf_dir):
     the plain quadratic form (fine at oracle SF) — results must agree
     exactly."""
     sh = _simhash32_df(spark, sf_dir)
-    cl = sh.groupBy("simhash").agg(
-        F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("rep_doc_id")
+    # Round-6: the cluster frame is materialized once — the 4 blocked
+    # equi-joins each re-derived the full sketch pipeline (word explode →
+    # 16-bit vote agg → cluster agg) on BOTH sides: 8 evaluations in the
+    # before-plan (16 parquet scans, 17 exchanges). The frame is
+    # |distinct sketches| rows — bounded by 2^16 here and tiny at any
+    # corpus size, so one temp-parquet write replaces 7 recomputes.
+    cl = _materialize_scan(
+        sh.groupBy("simhash").agg(
+            F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("rep_doc_id")
+        ),
+        spark,
     )
     n_blocks = _HAMMING_MAX + 1  # pigeonhole: ≤3 flipped bits miss ≥1 block
     bits_per = _SIMHASH_PAIR_BITS // n_blocks
@@ -3842,7 +3883,7 @@ def corpus_chunk_dedup(spark, sf_dir):
         )
 
     u = F.pandas_udf(_chunk_hashes_py, "array<bigint>").asNondeterministic()
-    hashed = d.select("doc_id", F.explode(u("text")).alias("h"))
+    hashed = _spread(d).select("doc_id", F.explode(u("text")).alias("h"))
     freq = hashed.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
     dup = F.count(F.when(F.col("c") > 1, F.lit(1))).alias("n_dup_chunks")
     return (
@@ -4272,7 +4313,7 @@ def corpus_decontaminate(spark, sf_dir):
     own slice)."""
     docs = _t(spark, sf_dir, "documents")
     bench = _grams3_spark(docs.where(F.col("doc_id") % 97 == 0)).select("g").distinct()
-    train = _grams3_spark(docs.where(F.col("doc_id") % 97 != 0))
+    train = _grams3_spark(_spread(docs.where(F.col("doc_id") % 97 != 0)))
     return (
         train.join(F.broadcast(bench), "g")
         .groupBy("doc_id")
@@ -5692,7 +5733,7 @@ def dedup_substring_windows(spark, sf_dir):
         return pd.Series(out)
 
     u = F.pandas_udf(_win_hashes_py, "array<bigint>").asNondeterministic()
-    wins = docs.select("doc_id", F.explode(u("text")).alias("h"))
+    wins = _spread(docs).select("doc_id", F.explode(u("text")).alias("h"))
     stats = wins.groupBy("h").agg(F.count_distinct("doc_id").alias("ndocs"))
     return (
         wins.join(stats, "h")
@@ -5847,7 +5888,7 @@ def corpus_line_dedup(spark, sf_dir):
         return pd.Series(_slide_join_py(texts, 10, 10, drop_tail=False, min_k=False))
 
     u = F.pandas_udf(_lines10_py, "array<string>").asNondeterministic()
-    hashed = d.select(
+    hashed = _spread(d).select(
         "doc_id", F.posexplode(u("text")).alias("line_idx", "line")
     ).withColumn("h", _h32_spark(F.col("line")))
     # first occurrence per distinct line: map-side-combinable min-struct agg
@@ -6735,11 +6776,19 @@ def corpus_source_overlap(spark, sf_dir):
     at 10^12 docs where the doc-level pair matrix is not. One shuffle on
     the shingle, one tiny per-source-pair rollup. [engine addition]"""
     docs = _t(spark, sf_dir, "documents")
-    ex = (
+    # Round-6: the distinct (src, shingle) frame is materialized once —
+    # the lazy plan re-ran the shingling UDF + doc join + distinct for the
+    # size rollup AND both self-join sides (before-plan: 16 ArrowEvalPython
+    # nodes / 16 scans for one logical shingling). n_sources × shingles is
+    # tiny relative to the corpus at any scale, so the temp-parquet write
+    # is the right trade everywhere.
+    docs = _spread(docs)
+    ex = _materialize_scan(
         _shingles_spark(docs)
         .join(docs.select("doc_id", "source"), "doc_id")
         .select(F.col("source").alias("src"), F.explode("shingles").alias("s"))
-        .distinct()
+        .distinct(),
+        spark,
     )
     sizes = ex.groupBy("src").agg(F.count(F.lit(1)).alias("n"))
     a, b = ex.alias("a"), ex.alias("b")

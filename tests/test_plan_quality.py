@@ -199,13 +199,18 @@ def test_asof_join_is_single_keyed_window(spark):
 
 
 def test_corpus_round3_queries_stay_jvm_side(spark):
-    """chunk-dedup / PII / domain / sample are pure JVM codegen exprs —
-    no Python nodes; the aggregating ones keep hash aggregates."""
-    for name in ("corpus_chunk_dedup", "pii_redaction", "domain_stats",
-                 "corpus_hash_sample"):
+    """PII / domain / sample are pure JVM codegen exprs — no Python
+    nodes. chunk-dedup (round 6) derives its chunk hashes in ONE
+    Arrow-batched kernel (never row-at-a-time Python), so its plan
+    carries exactly one ArrowEvalPython per evaluated subtree and no
+    BatchEvalPython; the aggregating queries keep hash aggregates."""
+    for name in ("pii_redaction", "domain_stats", "corpus_hash_sample"):
         plan = plan_of(QUERIES[name](spark, SF_MED))
         assert "BatchEvalPython" not in plan, name
         assert "ArrowEvalPython" not in plan, name
+    chunk = plan_of(QUERIES["corpus_chunk_dedup"](spark, SF_MED))
+    assert "BatchEvalPython" not in chunk
+    assert chunk.count(") ArrowEvalPython") <= 2  # freq + probe subtrees
     for name in ("corpus_chunk_dedup", "domain_stats"):
         assert "HashAggregate" in plan_of(QUERIES[name](spark, SF_MED)), name
 
@@ -242,7 +247,10 @@ def test_surprisal_and_decontaminate_plan_quality(spark):
     assert "HashAggregate" in plan
     assert "CartesianProduct" not in plan
     plan = plan_of(QUERIES["corpus_decontaminate"](spark, SF_MED))
-    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # round 6: grams derive in Arrow-batched kernels (one per side),
+    # never row-at-a-time Python
+    assert "BatchEvalPython" not in plan
+    assert plan.count(") ArrowEvalPython") <= 2
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
 
@@ -278,7 +286,10 @@ def test_curation_capstone_plan_quality(spark):
     gram decontamination probe is a broadcast hash join, and nothing
     degenerates to a cartesian product."""
     plan = plan_of(QUERIES["corpus_curation_full"](spark, SF_MED))
-    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # round 6: the decontamination grams derive in Arrow-batched kernels
+    # (bench + survivor side), never row-at-a-time Python
+    assert "BatchEvalPython" not in plan
+    assert plan.count(") ArrowEvalPython") <= 2
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
 
@@ -310,7 +321,10 @@ def test_line_dedup_uses_agg_not_window(spark):
     plan = plan_of(QUERIES["corpus_line_dedup"](spark, SF_MED))
     assert "Window" not in plan, "line dedup regressed to a window sort"
     assert "HashAggregate" in plan
-    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # round 6: lines derive in one Arrow-batched kernel per evaluated
+    # subtree (freq + probe), never row-at-a-time Python
+    assert "BatchEvalPython" not in plan
+    assert plan.count(") ArrowEvalPython") <= 2
     assert "CartesianProduct" not in plan
 
 
