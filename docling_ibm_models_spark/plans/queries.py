@@ -91,7 +91,7 @@ _MAT_SCRATCH: str | None = None
 _MAT_SEQ = 0
 
 
-def _spread(df: DataFrame) -> DataFrame:
+def _spread(df: DataFrame, key: str = "doc_id") -> DataFrame:
     """Input-layout parallelism guard (guide §2.5, "input skew: one huge
     unsplittable file … repartition immediately after the read"): when the
     scan yields fewer partitions than the session's default parallelism —
@@ -103,7 +103,7 @@ def _spread(df: DataFrame) -> DataFrame:
     splits and this returns the input unchanged (no extra exchange)."""
     p = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < p:
-        return df.repartition(p, "doc_id")
+        return df.repartition(p, F.col(key))
     return df
 
 
@@ -2626,9 +2626,11 @@ def spatial_iopdf_join(spark, sf_dir):
     """J2 — the cell matcher's spatial theta-join
     (tf_cell_matcher.py:465-527) as a relational range join:
     intersection-over-pdf-cell-area score for every overlapping
-    (table_cell, pdf_cell) pair. The small cell grid broadcasts."""
+    (table_cell, pdf_cell) pair. The small cell grid broadcasts; the
+    probe side spreads to default parallelism (round 6 — see
+    iou_match_join)."""
     t = _tcells_spark(spark, sf_dir)
-    p = _pcells_spark(spark, sf_dir)
+    p = _spread(_pcells_spark(spark, sf_dir), "pdf_id")
     ix = F.least(F.col("x2"), F.col("px2")) - F.greatest(F.col("x1"), F.col("px1"))
     iy = F.least(F.col("y2"), F.col("py2")) - F.greatest(F.col("y1"), F.col("py1"))
     iopdf = ix * iy / ((F.col("px2") - F.col("px1")) * (F.col("py2") - F.col("py1")))
@@ -2665,9 +2667,13 @@ def iou_match_join(spark, sf_dir):
     for every overlapping (table_cell, pdf_cell) pair, kept at the
     reference's ``iou_thres`` 0.05 with its ``div_area > 0`` guard. Same
     broadcast shape as the J2 iopdf variant (the per-table cell grid is
-    tiny; pdf cells stream)."""
+    tiny; pdf cells stream). Round-6: the probe side spreads to default
+    parallelism first — the sandbox lineitem is one sub-split parquet
+    file, so the whole broadcast nested-loop probe ran as ONE task
+    (same-session A/B at sf0.1: 2.30 s -> 1.19 s; no-op on real multi-
+    split scans)."""
     t = _tcells_spark(spark, sf_dir)
-    p = _pcells_spark(spark, sf_dir)
+    p = _spread(_pcells_spark(spark, sf_dir), "pdf_id")
     ix = F.least(F.col("x2"), F.col("px2")) - F.greatest(F.col("x1"), F.col("px1"))
     iy = F.least(F.col("y2"), F.col("py2")) - F.greatest(F.col("y1"), F.col("py1"))
     ia = ix * iy
@@ -2712,7 +2718,7 @@ def band_orphan_join(spark, sf_dir):
     from pyspark.sql import Window
 
     t = _tcells_spark(spark, sf_dir)
-    p = _pcells_spark(spark, sf_dir)
+    p = _spread(_pcells_spark(spark, sf_dir), "pdf_id")
     bands = (
         t.groupBy(F.floor(F.col("y1") / 60.0).cast("long").alias("row_id"))
         .agg(F.min("y1").alias("band_y1"), F.max("y2").alias("band_y2"))
@@ -2788,11 +2794,12 @@ def col_median_snap(spark, sf_dir):
 )
 def window_top1_match(spark, sf_dir):
     """A7 — final match assignment (matching_post_processor.py:720-755):
-    keep the best-scoring table cell per pdf cell = window top-1."""
+    keep the best-scoring table cell per pdf cell = window top-1. Probe
+    side spreads to default parallelism (round 6 — see iou_match_join)."""
     from pyspark.sql import Window
 
     t = _tcells_spark(spark, sf_dir)
-    p = _pcells_spark(spark, sf_dir)
+    p = _spread(_pcells_spark(spark, sf_dir), "pdf_id")
     ix = F.least(F.col("x2"), F.col("px2")) - F.greatest(F.col("x1"), F.col("px1"))
     iy = F.least(F.col("y2"), F.col("py2")) - F.greatest(F.col("y1"), F.col("py1"))
     m = (
@@ -4165,13 +4172,29 @@ def link_pagerank(spark, sf_dir):
     jsc = spark.sparkContext._jsc
     pre_ids = {int(k) for k in jsc.getPersistentRDDs().keySet().toArray()}
     try:
+        # Round-6: the DANGLING VERTEX SET is static across iterations,
+        # but the old per-iteration anti-join re-derived it from the
+        # unpersisted ``outdeg`` frame — re-running the whole edge
+        # derivation (scan → hash explode → distinct → groupBy) once per
+        # round. Materialize the set once (tiny: vertices with no
+        # out-edge) and turn each round's dangling-mass pass into a
+        # broadcast semi-join over the checkpointed ranks. Same r values
+        # summed, 5 fewer edge-derivation subtrees per query.
+        dang_set = _materialize_scan(
+            d.join(
+                ew.select("src").distinct(),
+                d["doc_id"] == F.col("src"),
+                "left_anti",
+            ).select("doc_id"),
+            spark,
+        )
         ranks = d.crossJoin(F.broadcast(n_df)).select(
             "doc_id", (F.lit(1.0) / F.col("n")).alias("r")
         )
         for _ in range(5):
-            dang = ranks.join(
-                outdeg.select("src"), ranks["doc_id"] == F.col("src"), "left_anti"
-            ).agg(F.coalesce(F.sum("r"), F.lit(0.0)).alias("dm"))
+            dang = ranks.join(F.broadcast(dang_set), "doc_id", "semi").agg(
+                F.coalesce(F.sum("r"), F.lit(0.0)).alias("dm")
+            )
             contrib = (
                 ew.join(ranks, ew["src"] == ranks["doc_id"])
                 .groupBy("dst")
@@ -5266,18 +5289,21 @@ def tpch_q9_product_profit(spark, sf_dir):
     rollup is one hash aggregate on (nation, year). At 100 TB a real
     partsupp would be a bucketed table on the same composite key."""
     li = _t(spark, sf_dir, "lineitem")
-    ps = (
-        li.select("l_partkey", "l_suppkey").distinct()
-        .select(
-            F.col("l_partkey").alias("ps_partkey"),
-            F.col("l_suppkey").alias("ps_suppkey"),
-            (
-                1.0
-                + _h32_spark(
-                    F.concat_ws("|", F.col("l_partkey"), F.col("l_suppkey"))
-                ) % 100000 / 100.0
-            ).alias("ps_supplycost"),
-        )
+    # Round-6: the derived partsupp row is a PURE FUNCTION of the join key
+    # — ps_supplycost = 1 + H(pk||'|'||sk)%100000/100 with exactly one row
+    # per distinct (pk, sk) — so the distinct + composite-key hash join
+    # re-attached to each lineitem row precisely the value the row can
+    # compute itself. Inlining the expression removes the distinct shuffle
+    # and the fact-side join outright (2 Exchanges fewer; guide §2.4
+    # "remove shuffles outright"); a REAL partsupp load would keep the
+    # bucketed-join shape the docstring describes. Same arithmetic per
+    # row, oracle unchanged.
+    li = li.withColumn(
+        "ps_supplycost",
+        1.0
+        + _h32_spark(F.concat_ws("|", F.col("l_partkey"), F.col("l_suppkey")))
+        % 100000
+        / 100.0,
     )
     p = _t(spark, sf_dir, "part").where(F.col("p_name").like("%red%"))
     s = _t(spark, sf_dir, "supplier")
@@ -5289,11 +5315,6 @@ def tpch_q9_product_profit(spark, sf_dir):
     return (
         li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
         .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
-        .join(
-            ps,
-            (F.col("ps_partkey") == F.col("l_partkey"))
-            & (F.col("ps_suppkey") == F.col("l_suppkey")),
-        )
         .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
         .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
@@ -6446,17 +6467,21 @@ def corpus_robots_rules(spark, sf_dir):
     rules = spark.createDataFrame(
         _ROBOTS_RULES, "sgrp int, prefix string, allow int"
     )
-    matched = (
+    # Round-6: single-pass evaluation — a LEFT broadcast join keeps
+    # unmatched urls in the stream (null score → spec default-allow), so
+    # the per-url max-score agg IS the result and the former
+    # matched-back-onto-docs merge join (second scan + url-keyed shuffle)
+    # disappears. Urls are unique per doc row, so one row per url == one
+    # row per doc, exactly the old outer-join output.
+    return (
         docs.join(
             F.broadcast(rules),
             (docs["sgrp"] == rules["sgrp"])
             & docs["path"].startswith(rules["prefix"]),
+            "left",
         )
         .groupBy("url")
         .agg(F.max(F.length("prefix") * 2 + F.col("allow")).alias("score"))
-    )
-    return (
-        docs.join(matched, "url", "left")
         .select(
             "url",
             F.coalesce(F.col("score") % 2, F.lit(1)).alias("allowed"),
@@ -6979,6 +7004,24 @@ def _bpe_fuse(col, bl: str, br: str):
     )
 
 
+def _bpe_fold_py(syms: list, rules: list) -> list:
+    """Python twin of chaining ``_bpe_fuse`` over ``rules`` in priority
+    order — the Arrow-batched encode kernel's core (round 6). Greedy
+    left-to-right non-overlapping fuse per rule; equivalence against the
+    Catalyst fold is property-tested on randomized rule tables
+    (tests/test_bpe_merges.py)."""
+    for bl, br in rules:
+        fused = bl + br
+        acc: list = []
+        for s in syms:
+            if acc and acc[-1] == bl and s == br:
+                acc[-1] = fused
+            else:
+                acc.append(s)
+        syms = acc
+    return syms
+
+
 def _bpe_encode_oracle() -> str:
     # One CTE per merge rule; each applies the training oracle's two-pass
     # greedy replace (a replace consumes the separator space shared with
@@ -7043,8 +7086,17 @@ def corpus_bpe_encode(spark, sf_dir):
     still O(vocab) not O(tokens)). Rules apply in priority order; a
     single ordered pass is exact because merging only CREATES symbols,
     so a later rule can never manufacture an adjacency an earlier
-    rule's pattern needed. No Python node anywhere. [engine addition:
-    tokenizer-application primitive]"""
+    rule's pattern needed. [engine addition:
+    tokenizer-application primitive]
+
+    Round-6: the 30-rule fold chain ran as 30 nested INTERPRETED
+    ``aggregate`` expressions per distinct word (higher-order functions
+    are not codegen'd — and the nested expression tree alone was a
+    planning cost). The encode now runs as one Arrow-batched kernel
+    applying the identical greedy fold per rule in priority order
+    (semantics pinned by the randomized fold-equivalence property test in
+    tests/test_bpe_merges.py against the Catalyst ``_bpe_fuse``); only the
+    per-word encoded LENGTH crosses back. Same rows, oracle unchanged."""
     docs = _t(spark, sf_dir, "documents")
     words = docs.select(
         "doc_id",
@@ -7056,14 +7108,15 @@ def corpus_bpe_encode(spark, sf_dir):
         words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c")),
         spark,
     )
-    chars = F.transform(
-        F.sequence(F.lit(1), F.length("w")),
-        lambda i: F.col("w").substr(i, F.lit(1)),
-    )
-    enc = dw.select("w").distinct().select("w", chars.alias("syms"))
-    for bl, br in _BPE_ENCODE_MERGES:
-        enc = enc.select("w", _bpe_fuse("syms", bl, br).alias("syms"))
-    enc_len = enc.select("w", F.size("syms").alias("enc_len"))
+
+    def _enc_len_py(ws):
+        import pandas as pd
+
+        rules = list(_BPE_ENCODE_MERGES)
+        return pd.Series([len(_bpe_fold_py(list(w), rules)) for w in ws])
+
+    u = F.pandas_udf(_enc_len_py, "int").asNondeterministic()
+    enc_len = dw.select("w").distinct().select("w", u("w").alias("enc_len"))
     return (
         dw.join(F.broadcast(enc_len), "w")
         .groupBy("doc_id")
@@ -7135,7 +7188,7 @@ def corpus_dsir_importance(spark, sf_dir):
     codegen; the md5-based bucket hash is the repo's cross-dialect
     ``_h32``. [engine addition: data-selection primitive; pairs with
     corpus_perplexity_filter (KenLM shape) and corpus_gopher_rules]"""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     toks = docs.select(
         "doc_id",
         "source",

@@ -105,3 +105,40 @@ def test_registered_query_deterministic_and_shaped(spark):
         grp = [r for r in rows if r[0] == it]
         assert len(grp) == 10
         assert grp == sorted(grp, key=lambda t: (-t[3], t[1], t[2]))
+
+
+def test_python_fold_matches_catalyst_fuse_on_random_rules(spark):
+    """Round-6 encode kernel equivalence: the Python greedy fold
+    (_bpe_fold_py, the Arrow-batched encode path) must agree with the
+    Catalyst _bpe_fuse fold chain on randomized symbol strings AND
+    randomized rule tables (bl != br per the module invariant)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from docling_ibm_models_spark.plans.queries import _bpe_fold_py, _bpe_fuse
+
+    rng = random.Random(20260822)
+    alphabet = ["a", "b", "c", "d"]
+    for trial in range(6):
+        words = [
+            "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 12)))
+            for _ in range(40)
+        ]
+        rules = []
+        pool = list(alphabet)
+        for _ in range(rng.randint(1, 4)):
+            bl, br = rng.sample(pool, 2)  # sample -> bl != br
+            rules.append((bl, br))
+            pool.append(bl + br)
+        df = spark.createDataFrame([(w,) for w in words], "w string")
+        chars = F.transform(
+            F.sequence(F.lit(1), F.length("w")),
+            lambda i: F.col("w").substr(i, F.lit(1)),
+        )
+        enc = df.select("w", chars.alias("syms"))
+        for bl, br in rules:
+            enc = enc.select("w", _bpe_fuse("syms", bl, br).alias("syms"))
+        got = {r["w"]: r["syms"] for r in enc.collect()}
+        for w in words:
+            assert got[w] == _bpe_fold_py(list(w), rules), (w, rules)
