@@ -5756,8 +5756,14 @@ def dedup_substring_windows(spark, sf_dir):
     u = F.pandas_udf(_win_hashes_py, "array<bigint>").asNondeterministic()
     wins = _spread(docs).select("doc_id", F.explode(u("text")).alias("h"))
     stats = wins.groupBy("h").agg(F.count_distinct("doc_id").alias("ndocs"))
+    # Round-6: the frequency join is pinned SHUFFLE_HASH so both sides
+    # hash-partition on h and the wins exchange is SHARED (ReusedExchange)
+    # — the planner's broadcast of `stats` evaluated the window-hash
+    # kernel twice (build + probe) with no reuse. This is also the
+    # docstring's claimed shape; at corpus scale stats ~ |distinct
+    # windows| never broadcasts anyway. A/B: 1.75→1.58 s.
     return (
-        wins.join(stats, "h")
+        wins.join(stats.hint("shuffle_hash"), "h")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_windows"),
@@ -5822,8 +5828,16 @@ def corpus_perplexity_filter(spark, sf_dir):
     bi = dbi.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("double").alias("c"))
     uni = bi.groupBy("w1").agg(F.sum("c").alias("cw1"))
     nll = F.round(F.avg(-F.log(F.col("c") / F.col("cw1"))), 4)
+    # Round-6: the bigram-count join is pinned SHUFFLE_HASH (guide §3.1).
+    # The planner otherwise broadcasts `bi`, which evaluates the dbi
+    # explode subtree TWICE (once under the broadcast, once as probe) with
+    # no exchange reuse; with both sides hashed on (w1, w2) the dbi
+    # exchange is shared (ReusedExchange — the bigram derivation runs
+    # once) and no sort is paid. At 10^12 tokens the bigram table exceeds
+    # any broadcast budget anyway, so SHJ is also the scale shape; `uni`
+    # (vocab-sized) is left to the planner. Same-session A/B: 1.14→0.90 s.
     return (
-        dbi.join(bi, ["w1", "w2"])
+        dbi.join(bi.hint("shuffle_hash"), ["w1", "w2"])
         .join(uni, "w1")
         .groupBy("doc_id")
         .agg(
