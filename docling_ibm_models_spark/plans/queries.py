@@ -6860,6 +6860,12 @@ def corpus_source_overlap(spark, sf_dir):
 # load-bearing for the driver hash — keep BOTH dialects pinned here, never
 # inline a variant in one side only. (The older lang_id/token_count family
 # keeps its separate trim()+split spelling with matching oracles.)
+# Dialect caveat (ADVICE r5): Java regex \s matches U+000B vertical tab,
+# DuckDB's RE2 \s does not — the two spellings agree only while the corpus
+# contains no \x0B (or other exotic) whitespace. The oracle text is frozen,
+# so the invariant is ASSERTED instead of respelled:
+# tests/test_oracle_queries.py::test_corpus_whitespace_invariant fails if
+# any document ever carries whitespace outside [ \t\n\r\f].
 _WS_TOKS_SQL = (
     "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')"
 )
@@ -6992,9 +6998,10 @@ _BPE_ENCODE_MERGES = [
 # fold is strictly left-to-right ([aa][aa]a → different once later rules
 # consume those symbols). Guard the invariant at import time so extending
 # the merge table can't silently desynchronize query and oracle.
-assert all(bl != br for bl, br in _BPE_ENCODE_MERGES), (
-    "bl == br merge rules break the two-pass-replace oracle equivalence"
-)
+if any(bl == br for bl, br in _BPE_ENCODE_MERGES):  # survives python -O
+    raise ValueError(
+        "bl == br merge rules break the two-pass-replace oracle equivalence"
+    )
 
 
 def _bpe_fuse(col, bl: str, br: str):
@@ -7365,30 +7372,33 @@ def corpus_phrase_search(spark, sf_dir):
 # ===========================================================================
 
 _WINDOW_PRIORITY = [
-    # -- the 40 with no round-3 driver row (source-registration order kept) --
+    # -- round-6 OPTIMIZATION window: every name whose query source
+    #    changed this round keeps/gains a slot so the driver re-verifies
+    #    the optimized plan against its (unchanged) oracle; the remainder
+    #    are the standing integration/pipeline representatives. Cede
+    #    history for rounds 2-5 lives in COVERAGE.md (r5 VERDICT item 8);
+    #    round-6 cedes: crawl_snapshot_diff, corpus_cdx_surt,
+    #    pipeline_media_meta, corpus_cardinality_sketch, ann_pq_topk,
+    #    corpus_url_blocklist, corpus_cms_heavy_hitters and
+    #    embedding_semdedup (all r5 driver-green, source-unchanged since)
+    #    make room for the eight round-6-optimized queries that had no
+    #    slot: dedup_ngram_jaccard, dedup_minhash_lsh, dedup_simhash,
+    #    dedup_simhash_pairs, tpch_q9_product_profit, spatial_iopdf_join,
+    #    band_orphan_join, window_top1_match. --
     "iou_match_join",
     "warc_extract_match",
-    "crawl_snapshot_diff", "corpus_cdx_surt", "extract_match",
+    "dedup_ngram_jaccard", "dedup_minhash_lsh", "extract_match",
     "pipeline_layout_clusters", "pipeline_doc_assembly",
     "pipeline_figure_classes", "pipeline_code_formula",
-    "pipeline_table_cells", "pipeline_reading_order", "pipeline_media_meta",
+    "pipeline_table_cells", "pipeline_reading_order", "dedup_simhash",
     "pipeline_table_profile", "ann_ivf_topk",
     "corpus_chunk_dedup",
     "link_pagerank",
     "corpus_decontaminate", "events_skew_salted_join",
     "events_user_value_windows",
-    "corpus_cardinality_sketch", "ann_pq_topk",
-    "corpus_url_blocklist", "corpus_cms_heavy_hitters",
+    "dedup_simhash_pairs", "tpch_q9_product_profit",
+    "spatial_iopdf_join", "band_orphan_join",
     "corpus_curation_full", "corpus_sequence_packing",
-    # -- queries new/modified this round (r5) — need a driver row.
-    #    warc_cdx_fetch (CDX offset read-back), corpus_surt_canonical
-    #    (public-spec SURT canonicalizer) and corpus_robots_rules
-    #    (robots.txt longest-match evaluation) are NEW;
-    #    dense_rank_compaction and events_user_value_windows were
-    #    rewritten window-free / distributed-scan; dedup_clusters /
-    #    dedup_minhash_verified / link_pagerank share the reworked
-    #    session-scoped _materialize_scan; the two sequence-packing oracles
-    #    and pipeline_table_profile carry this round's oracle fixes --
     "warc_cdx_fetch", "corpus_surt_canonical", "corpus_robots_rules",
     "corpus_boilerplate_blocks", "warc_wet_roundtrip",
     "corpus_stratified_sample", "corpus_bpe_merges",
@@ -7397,45 +7407,11 @@ _WINDOW_PRIORITY = [
     "corpus_phrase_search",
     "dense_rank_compaction",
     "dedup_clusters", "dedup_minhash_verified",
-    "corpus_sequence_packing_stratified", "embedding_semdedup",
+    "corpus_sequence_packing_stratified", "window_top1_match",
     "events_rolling_24h",
     "corpus_incremental_dedup", "dedup_substring_windows",
     "corpus_perplexity_filter",
     "corpus_line_dedup", "corpus_gopher_rules", "corpus_url_canonicalize",
-    # -- ceded slots: tpch_q1_pricing (r1-r3 green, representative only),
-    #    col_median_snap (r2 green + direct parity vs the reference
-    #    post_processor), and — for the three late round-4 additions above —
-    #    spatial_iopdf_join / band_orphan_join / dense_rank_compaction /
-    #    window_top1_match / reading_order_assembly / caption_link_adjacency
-    #    (all r2 driver-green, unchanged since, and parity-tested against
-    #    the imported reference modules) made room for the round-4
-    #    additions (warc_extract_match, crawl_snapshot_diff,
-    #    corpus_cdx_surt, the three late corpus queries). Round 5 cedes
-    #    tpch_q9_product_profit, events_pivot_daily, events_user_segments
-    #    and corpus_bigram_lm (all r4 green, unchanged in r5) for
-    #    warc_cdx_fetch, corpus_surt_canonical, corpus_robots_rules and
-    #    the rewritten dense_rank_compaction; events_retention_cohorts and
-    #    events_funnel (both r4 green, unchanged) cede for the late-r5
-    #    corpus_boilerplate_blocks and warc_wet_roundtrip; events_asof_join
-    #    and revenue_grouping_sets (both r4 green, unchanged) cede for
-    #    corpus_stratified_sample (exact distributed per-stratum quota
-    #    sampling) and corpus_bpe_merges (distributed BPE tokenizer
-    #    training); corpus_hash_sample and pii_redaction (both r4 green,
-    #    unchanged) cede for corpus_mixture_weights (temperature-scaled
-    #    mixture math) and corpus_source_overlap (cross-source
-    #    contamination matrix); domain_stats and events_json_props (both
-    #    r4 green, unchanged) cede for corpus_bm25_topk (ranked
-    #    retrieval) and corpus_bpe_encode (tokenizer application with a
-    #    shipped merge vocabulary); corpus_unigram_surprisal (r4 green,
-    #    unchanged) cedes for corpus_dsir_importance (DSIR hashed-LM
-    #    log-ratio selection, the strictly richer unigram-LM query);
-    #    domain_typosquat (r4 green, unchanged) cedes for
-    #    corpus_phrase_search (positional posting-list intersection).
-    #    Every name here
-    #    either has
-    #    no driver row in any round or changed materially since its last
-    #    green row; after round 4 EVERY registered query has had a
-    #    driver-verified row in some round --
 ]
 
 

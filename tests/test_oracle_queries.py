@@ -105,3 +105,23 @@ def test_shingle_tokenization_matches_oracle_on_hostile_whitespace(spark, duck):
         for d, s in con.execute(f"SELECT doc_id, shingles FROM ({sql})").fetchall()
     }
     assert got == exp
+
+
+def test_corpus_whitespace_invariant():
+    """ADVICE r5: Java regex \\s (Spark) matches U+000B vertical tab while
+    DuckDB's RE2 \\s does not, so every pinned '\\s+' tokenizer pair agrees
+    only while the corpus carries no whitespace outside [ \\t\\n\\r\\f].
+    The oracle SQL text is frozen; assert the corpus invariant instead —
+    at every local SF, no document may contain \\x0B or any other
+    non-ASCII whitespace the two engines would split differently."""
+    import re
+
+    import pyarrow.parquet as pq
+
+    hostile = re.compile(r"[^\S \t\n\r\f]")  # whitespace NOT in the safe set
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        texts = pq.read_table(
+            f"/root/testdata/{sf}/documents.parquet", columns=["text"]
+        )["text"].to_pylist()
+        bad = [t[:40] for t in texts if t and hostile.search(t)]
+        assert not bad, f"{sf}: {len(bad)} docs with engine-divergent whitespace"

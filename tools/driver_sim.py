@@ -8,7 +8,11 @@ pandas) vs Spark BIGINT (int64) mismatches even when every value is equal
 round(4) normalization still flips the hash.  This script therefore
 checks BOTH: pandas dtype families AND exact raw-value equality over
 name-sorted columns and sorted rows — strictly stronger than the
-normalized oracle test.
+normalized oracle test, EXCEPT that dtype_family collapses integer
+widths (int32 vs int64 pass as one 'int' family; ADVICE r5). The
+width-insensitivity of the real driver hash is inferred from the
+token_count precedent (Spark int columns against ::BIGINT oracles have
+been driver-green since round 2), not pinned.
 
 Run: python tools/driver_sim.py [start [end]]
 """
