@@ -429,10 +429,14 @@ def test_bpe_encode_query_plan(spark):
     """corpus_bpe_encode: the corpus collapses to the materialized
     (doc_id, word, count) frame — ZERO documents scans remain in the
     returned plan (vocab and totals both re-read the temp parquet), the
-    encoded-length join is a broadcast hash join, every merge fold is a
-    codegen expression (no Python nodes), and no window appears."""
+    encoded-length join is a broadcast hash join, and no window appears.
+    Round 6: the per-distinct-word merge fold runs as ONE Arrow-batched
+    kernel (fold equivalence property-tested in tests/test_bpe_merges.py)
+    instead of 30 nested interpreted aggregate expressions — exactly one
+    ArrowEvalPython node, still no row-at-a-time BatchEvalPython."""
     plan = plan_of(QUERIES["corpus_bpe_encode"](spark, SF_MED))
-    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count(") ArrowEvalPython") == 1
     assert "MapInPandas" not in plan
     assert "Window" not in plan
     assert "BroadcastHashJoin" in plan
