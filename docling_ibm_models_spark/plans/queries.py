@@ -4172,34 +4172,39 @@ def link_pagerank(spark, sf_dir):
     jsc = spark.sparkContext._jsc
     pre_ids = {int(k) for k in jsc.getPersistentRDDs().keySet().toArray()}
     try:
-        # Round-6: the DANGLING VERTEX SET is static across iterations,
-        # but the old per-iteration anti-join re-derived it from the
-        # unpersisted ``outdeg`` frame — re-running the whole edge
-        # derivation (scan → hash explode → distinct → groupBy) once per
-        # round. Materialize the set once (tiny: vertices with no
-        # out-edge) and turn each round's dangling-mass pass into a
-        # broadcast semi-join over the checkpointed ranks. Same r values
-        # summed, 5 fewer edge-derivation subtrees per query.
-        dang_set = _materialize_scan(
-            d.join(
-                ew.select("src").distinct(),
-                d["doc_id"] == F.col("src"),
-                "left_anti",
-            ).select("doc_id"),
-            spark,
-        )
+        # Round-6: the dangling-mass pass is FOLDED INTO the contribution
+        # aggregation (guide §2.4 — one shuffle where two ran). The old
+        # per-iteration anti-join against the unpersisted ``outdeg``
+        # re-derived the whole edge subtree (scan → hash explode →
+        # distinct → groupBy) every round; instead, one LEFT join of the
+        # checkpointed ranks onto the persisted edge table surfaces
+        # dangling vertices as dst-NULL rows, so a single groupBy(dst)
+        # yields BOTH the per-target contributions AND (in the NULL
+        # group) the dangling mass. The tiny aggregated frame is
+        # checkpointed; the dm scalar and the contrib rows are filters
+        # over it — no second distributed pass. Same r values summed per
+        # group; oracle unchanged (verified exact at 6 dp both SFs).
         ranks = d.crossJoin(F.broadcast(n_df)).select(
             "doc_id", (F.lit(1.0) / F.col("n")).alias("r")
         )
         for _ in range(5):
-            dang = ranks.join(F.broadcast(dang_set), "doc_id", "semi").agg(
-                F.coalesce(F.sum("r"), F.lit(0.0)).alias("dm")
-            )
-            contrib = (
-                ew.join(ranks, ew["src"] == ranks["doc_id"])
+            agg = (
+                ranks.join(ew, ranks["doc_id"] == ew["src"], "left")
                 .groupBy("dst")
-                .agg(F.sum(F.col("r") / F.col("od")).alias("c"))
-                .select(F.col("dst").alias("cdst"), "c")
+                .agg(
+                    F.sum(
+                        F.when(F.col("src").isNull(), F.col("r")).otherwise(
+                            F.col("r") / F.col("od")
+                        )
+                    ).alias("c")
+                )
+                .localCheckpoint(eager=True)
+            )
+            dang = agg.where(F.col("dst").isNull()).agg(
+                F.coalesce(F.sum("c"), F.lit(0.0)).alias("dm")
+            )
+            contrib = agg.where(F.col("dst").isNotNull()).select(
+                F.col("dst").alias("cdst"), "c"
             )
             ranks = (
                 d.join(contrib, d["doc_id"] == F.col("cdst"), "left")
