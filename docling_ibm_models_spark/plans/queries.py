@@ -2334,30 +2334,42 @@ def dedup_simhash_pairs(spark, sf_dir):
     )
     n_blocks = _HAMMING_MAX + 1  # pigeonhole: ≤3 flipped bits miss ≥1 block
     bits_per = _SIMHASH_PAIR_BITS // n_blocks
+    # Round-6: the 4 per-block equi-joins + union collapse into ONE
+    # self-join on the exploded (block_idx, block_val) key — "a pair
+    # matches in SOME block" is exactly equality on that composite key
+    # (guide §2.4: one exchange pair + one join where four of each ran;
+    # identical candidate set, the distinct dedups multi-block matches
+    # either way). The exploded frame is n_blocks × |clusters| tiny rows.
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("i"),
+                F.shiftright(F.col("simhash"), i * bits_per)
+                .bitwiseAND((1 << bits_per) - 1)
+                .alias("blk"),
+            )
+            for i in range(n_blocks)
+        ]
+    )
+    blocked = cl.select("simhash", "n_docs", F.explode(blocks).alias("bb")).select(
+        "simhash", "n_docs", F.col("bb.i").alias("i"), F.col("bb.blk").alias("blk")
+    )
+    a, b = blocked.alias("a"), blocked.alias("b")
     hamming = F.bit_count(
         F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
     ).cast("int")
-    pairs = None
-    for i in range(n_blocks):
-        blk = (
-            F.shiftright(F.col("simhash"), i * bits_per)
-            .bitwiseAND((1 << bits_per) - 1)
-            .alias("blk")
-        )
-        blocked = cl.select("simhash", "n_docs", blk)
-        a, b = blocked.alias("a"), blocked.alias("b")
-        cand = a.join(
-            b,
-            (F.col("a.blk") == F.col("b.blk"))
-            & (F.col("a.simhash") < F.col("b.simhash")),
-        ).select(
-            F.col("a.simhash").alias("sketch_a"),
-            F.col("b.simhash").alias("sketch_b"),
-            hamming.alias("hamming"),
-            F.col("a.n_docs").alias("docs_a"),
-            F.col("b.n_docs").alias("docs_b"),
-        )
-        pairs = cand if pairs is None else pairs.unionByName(cand)
+    pairs = a.join(
+        b,
+        (F.col("a.i") == F.col("b.i"))
+        & (F.col("a.blk") == F.col("b.blk"))
+        & (F.col("a.simhash") < F.col("b.simhash")),
+    ).select(
+        F.col("a.simhash").alias("sketch_a"),
+        F.col("b.simhash").alias("sketch_b"),
+        hamming.alias("hamming"),
+        F.col("a.n_docs").alias("docs_a"),
+        F.col("b.n_docs").alias("docs_b"),
+    )
     return (
         pairs.where(F.col("hamming") <= _HAMMING_MAX)
         .distinct()
